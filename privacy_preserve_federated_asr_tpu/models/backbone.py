@@ -1,0 +1,314 @@
+"""SSL speech-encoder backbone family in flax.linen, TPU-first.
+
+One parameterized implementation covers the checkpoints the reference sweeps
+over — data2vec-audio (flagship, reference: federated/src/models.py using HF
+``Data2VecAudioModel``), wav2vec2, hubert, unispeech-sat (reference:
+centralized/functions/OtherMdls_*.py) — instead of five near-duplicated
+model files. Structure switches are config flags (see ``BackboneConfig``).
+
+TPU notes:
+  * convs and matmuls run in the configured compute dtype (bf16 for speed);
+    LayerNorm / softmax accumulate in fp32,
+  * attention uses a fused additive-bias softmax formulation XLA maps to the
+    MXU; sequence lengths here are ~10^3 so no ring/blockwise machinery,
+  * optional ``remat`` wraps each transformer block in ``jax.checkpoint``
+    (the reference trains with HF gradient_checkpointing,
+    federated/src/update.py:451),
+  * LayerDrop is intentionally not implemented (data-dependent layer skips
+    defeat XLA tracing; the reference's fine-tune recipes run eval/frozen or
+    short fine-tunes where its effect is marginal). Param-parity porting is
+    unaffected.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import BackboneConfig
+
+ACT2FN: dict[str, Callable] = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "relu": jax.nn.relu,
+}
+
+
+def feat_extract_output_lengths(cfg: BackboneConfig, input_lengths: jax.Array) -> jax.Array:
+    """Waveform sample count -> encoder frame count via the conv formula
+    ``floor((len - kernel) / stride) + 1`` per layer (reference:
+    centralized/Models.py:249-271 ``_get_feat_extract_output_lengths``)."""
+    lengths = input_lengths
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        lengths = (lengths - k) // s + 1
+    return lengths
+
+
+class _ConvLayer(nn.Module):
+    cfg: BackboneConfig
+    layer_id: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # [B, T, C_in]
+        cfg = self.cfg
+        out_dim = cfg.conv_dim[self.layer_id]
+        x = nn.Conv(
+            features=out_dim,
+            kernel_size=(cfg.conv_kernel[self.layer_id],),
+            strides=(cfg.conv_stride[self.layer_id],),
+            padding="VALID",
+            use_bias=cfg.conv_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if cfg.feat_extract_norm == "layer":
+            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x).astype(self.dtype)
+        elif cfg.feat_extract_norm == "group" and self.layer_id == 0:
+            # per-channel norm over time (torch GroupNorm(C, C))
+            x = nn.GroupNorm(num_groups=out_dim, epsilon=1e-5, name="layer_norm")(x)
+            x = x.astype(self.dtype)
+        return ACT2FN[cfg.feat_extract_activation](x)
+
+
+class FeatureEncoder(nn.Module):
+    """Raw waveform [B, T] -> conv features [B, T', C]."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_values: jax.Array) -> jax.Array:
+        x = input_values[:, :, None].astype(self.dtype)
+        for i in range(len(self.cfg.conv_dim)):
+            x = _ConvLayer(self.cfg, i, self.dtype, name=f"conv_layers_{i}")(x)
+        return x
+
+
+class FeatureProjection(nn.Module):
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x)
+        x = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="projection")(
+            x.astype(self.dtype)
+        )
+        return nn.Dropout(self.cfg.feat_proj_dropout)(x, deterministic=deterministic)
+
+
+class _StackedPosConvLayer(nn.Module):
+    """data2vec positional conv block: grouped conv + non-affine LN + GELU."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        k = cfg.conv_pos_kernel_size
+        x = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:  # even kernel: symmetric pad adds one extra frame
+            x = x[:, :-1, :]
+        x = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False)(x)
+        return ACT2FN[cfg.feat_extract_activation](x.astype(self.dtype))
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Convolutional relative positional embeddings.
+
+    ``stacked`` = data2vec's N small grouped conv+LN+GELU layers;
+    ``single`` = wav2vec2/hubert's one wide weight-normed grouped conv
+    (weight norm is merged into a plain kernel at port time — it is a
+    reparametrization, not a distinct function).
+    """
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        if cfg.pos_conv_type == "stacked":
+            for i in range(cfg.num_conv_pos_embeddings):
+                x = _StackedPosConvLayer(cfg, self.dtype, name=f"layers_{i}")(x)
+            return x
+        k = cfg.num_conv_pos_embeddings
+        x = nn.Conv(
+            features=cfg.hidden_size,
+            kernel_size=(k,),
+            padding=[(k // 2, k // 2)],
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:
+            x = x[:, :-1, :]
+        return ACT2FN[cfg.feat_extract_activation](x)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention; fp32 softmax, MXU-friendly einsums."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        attention_bias: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        h, d = cfg.num_attention_heads, cfg.head_dim
+
+        def proj(name):
+            return nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)
+
+        q = proj("q_proj")(x) * (d**-0.5)
+        k = proj("k_proj")(x)
+        v = proj("v_proj")(x)
+        b, t, _ = x.shape
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, h, d)
+        v = v.reshape(b, t, h, d)
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if attention_bias is not None:
+            scores = scores + attention_bias
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, cfg.hidden_size)
+        return proj("out_proj")(ctx)
+
+
+class FeedForward(nn.Module):
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.cfg
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        x = ACT2FN[cfg.hidden_act](x)
+        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(x)
+        return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+
+class EncoderLayer(nn.Module):
+    """Transformer block; post-norm (data2vec) or pre-norm (stable-LN)."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        attention_bias: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")
+        ln2 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_layer_norm")
+        attn = Attention(cfg, self.dtype, name="attention")
+        ffn = FeedForward(cfg, self.dtype, name="feed_forward")
+        drop = nn.Dropout(cfg.hidden_dropout)
+
+        if cfg.do_stable_layer_norm:  # pre-norm
+            x = x + drop(
+                attn(ln1(x).astype(self.dtype), attention_bias, deterministic),
+                deterministic=deterministic,
+            )
+            x = x + ffn(ln2(x).astype(self.dtype), deterministic)
+            return x
+        # post-norm (data2vec audio)
+        x = x + drop(attn(x, attention_bias, deterministic), deterministic=deterministic)
+        x = ln1(x).astype(self.dtype)
+        x = x + ffn(x, deterministic)
+        return ln2(x).astype(self.dtype)
+
+
+class Encoder(nn.Module):
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        frame_mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.cfg
+        attention_bias = None
+        if frame_mask is not None:
+            fm = frame_mask.astype(self.dtype)
+            x = x * fm[:, :, None]  # zero padded frames before pos conv
+            attention_bias = jnp.where(
+                frame_mask[:, None, None, :].astype(bool), 0.0, -1e9
+            ).astype(jnp.float32)
+
+        x = x + PositionalConvEmbedding(cfg, self.dtype, name="pos_conv_embed")(x)
+        if not cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+            x = x.astype(self.dtype)
+        x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
+
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        for i in range(cfg.num_hidden_layers):
+            x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(
+                x, attention_bias, deterministic
+            )
+        if cfg.do_stable_layer_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+            x = x.astype(self.dtype)
+        return x
+
+
+class SSLBackbone(nn.Module):
+    """Full SSL speech encoder: waveform [B, T] -> embeddings [B, T', D].
+
+    Equivalent role to HF ``Data2VecAudioModel`` / ``Wav2Vec2Model`` /
+    ``HubertModel`` in the reference model layer (SURVEY.md §2.1 L1).
+    """
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_values: jax.Array,
+        frame_mask: jax.Array | None = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        feats = FeatureEncoder(self.cfg, self.dtype, name="feature_extractor")(input_values)
+        x = FeatureProjection(self.cfg, self.dtype, name="feature_projection")(
+            feats, deterministic
+        )
+        return Encoder(self.cfg, self.dtype, self.remat, name="encoder")(
+            x, frame_mask, deterministic
+        )
+
+    def frame_mask_from_lengths(self, input_lengths: jax.Array, num_frames: int) -> jax.Array:
+        frame_lengths = feat_extract_output_lengths(self.cfg, input_lengths)
+        return (jnp.arange(num_frames)[None, :] < frame_lengths[:, None]).astype(jnp.int32)

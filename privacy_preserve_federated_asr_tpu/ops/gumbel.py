@@ -28,6 +28,7 @@ def gumbel_softmax(
     tau: float = 1.0,
     hard: bool = False,
     axis: int = -1,
+    noise: jax.Array | None = None,
 ) -> jax.Array:
     """Sample from the Gumbel-softmax distribution, optionally discretized.
 
@@ -37,11 +38,16 @@ def gumbel_softmax(
       tau: non-negative temperature.
       hard: if True return straight-through one-hot samples.
       axis: softmax axis.
+      noise: optional pre-drawn Gumbel(0,1) noise (for cross-framework
+        parity tests); when given, ``rng`` is ignored.
 
     Returns:
       Tensor shaped like ``logits``; one-hot along ``axis`` if ``hard``.
     """
-    gumbels = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    if noise is not None:
+        gumbels = noise.astype(jnp.float32)
+    else:
+        gumbels = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
     # Guard against pathological values (parity with the reference's
     # NaN/Inf regeneration loop; jax.random.gumbel is finite by construction).
     gumbels = jnp.clip(gumbels, -1e9, 1e9)

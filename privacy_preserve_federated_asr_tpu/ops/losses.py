@@ -25,11 +25,24 @@ import jax.numpy as jnp
 RECALL_LOSS_KINDS = ("cel", "recall", "prec", "f1", "recall_ori", "prec_ori")
 
 
-def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def _weighted_mean(x: jax.Array, w: jax.Array | None, axis=None) -> jax.Array:
+    """Mean, or sample-weighted mean when ``w`` is given (w broadcasts on the
+    leading batch axis; used to ignore rows padding out a short batch)."""
+    if w is None:
+        return jnp.mean(x, axis=axis)
+    w = w.astype(x.dtype)
+    while w.ndim < x.ndim:
+        w = w[..., None]
+    return jnp.sum(x * w, axis=axis) / jnp.maximum(jnp.sum(jnp.broadcast_to(w, x.shape), axis=axis), 1e-9)
+
+
+def cross_entropy_loss(
+    logits: jax.Array, labels: jax.Array, sample_weight: jax.Array | None = None
+) -> jax.Array:
     """Mean softmax cross-entropy over the batch; logits [N, C], labels [N]."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    return jnp.mean(nll)
+    return _weighted_mean(nll, sample_weight)
 
 
 def recall_family_loss(
@@ -37,6 +50,7 @@ def recall_family_loss(
     labels: jax.Array,
     kind: str,
     weight: Sequence[float] | None,
+    sample_weight: jax.Array | None = None,
 ) -> jax.Array:
     """Soft recall / precision / F1 losses for imbalanced classification.
 
@@ -58,7 +72,7 @@ def recall_family_loss(
       *_ori losses  = 1 - mean(metric * w * C)
     """
     if kind == "cel":
-        return cross_entropy_loss(logits, labels)
+        return cross_entropy_loss(logits, labels, sample_weight)
     if kind not in RECALL_LOSS_KINDS:
         raise ValueError(f"unknown AD loss kind: {kind!r}")
 
@@ -81,15 +95,15 @@ def recall_family_loss(
 
     wc = w[None, :] * c
     if kind == "recall":
-        return jnp.mean((1.0 - recall) * wc)
+        return _weighted_mean((1.0 - recall) * wc, sample_weight)
     if kind == "prec":
-        return jnp.mean((1.0 - precision) * wc)
+        return _weighted_mean((1.0 - precision) * wc, sample_weight)
     if kind == "f1":
-        return 1.0 - jnp.mean(f1 * wc)
+        return 1.0 - _weighted_mean(f1 * wc, sample_weight)
     if kind == "recall_ori":
-        return 1.0 - jnp.mean(recall * wc)
+        return 1.0 - _weighted_mean(recall * wc, sample_weight)
     if kind == "prec_ori":
-        return 1.0 - jnp.mean(precision * wc)
+        return 1.0 - _weighted_mean(precision * wc, sample_weight)
     raise AssertionError(kind)
 
 
@@ -102,6 +116,7 @@ def am_softmax_loss(
     m: float | None = None,
     eps: float = 1e-7,
     normalize_weight: bool = False,
+    sample_weight: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Angular-penalty softmax ("diversity") loss.
 
@@ -143,7 +158,7 @@ def am_softmax_loss(
     # sum over non-target classes of exp(s * wf)
     excl = jnp.sum(jnp.exp(s * wf) * (1.0 - onehot), axis=1)
     denominator = jnp.exp(numerator) + excl
-    loss = -jnp.mean(numerator - jnp.log(denominator))
+    loss = -_weighted_mean(numerator - jnp.log(denominator), sample_weight)
     return loss, wf
 
 
