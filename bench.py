@@ -1,0 +1,98 @@
+"""Headline benchmark: DACS stage-1 (ASR fine-tune) training throughput on
+the flagship data2vec-audio-large model, in utterances/sec/chip.
+
+Baseline (BASELINE.md): the reference trains the same recipe at ~3.135
+samples/s on one GPU (fp16, batch 1, gradient checkpointing) — HF Trainer
+``train_samples_per_second`` from the committed FL logs. ``vs_baseline`` is
+the speedup over that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_UTT_PER_SEC = 3.135
+BATCH = 16
+SECONDS_PER_UTT = 5.0          # ADReSS-like average utterance length
+SAMPLES = int(16000 * SECONDS_PER_UTT)
+LABEL_LEN = 48
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import DeviceBatch, make_train_step
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        create_train_state,
+        init_dacs_params,
+    )
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(
+            # match the reference fine-tune setup (mask_time_prob=0 -> no
+            # SpecAugment; dropouts as in the HF config)
+            final_dropout=0.0,
+        ),
+        stage=0,
+        ad_loss="recall",
+    )
+    model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    tx = make_optimizer(
+        jax.eval_shape(lambda: params), stage=0, warmup_steps=100,
+        total_steps=10_000,
+    )
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    train_step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(int(0.7 * SAMPLES), SAMPLES, size=BATCH)
+    lengths[0] = SAMPLES
+    iv = rng.normal(0, 1, size=(BATCH, SAMPLES)).astype(np.float32)
+    for i, ln in enumerate(lengths):
+        iv[i, ln:] = 0.0
+    labels = rng.integers(4, 32, size=(BATCH, LABEL_LEN)).astype(np.int32)
+    batch = DeviceBatch(
+        input_values=jnp.asarray(iv),
+        input_lengths=jnp.asarray(lengths, dtype=jnp.int32),
+        labels=jnp.asarray(labels),
+        label_lengths=jnp.full((BATCH,), LABEL_LEN, dtype=jnp.int32),
+        dementia_labels=jnp.asarray(rng.integers(0, 2, size=BATCH), dtype=jnp.int32),
+        sample_mask=jnp.ones((BATCH,), dtype=jnp.float32),
+    )
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = train_step(state, batch)
+    # force a host round-trip: on the experimental remote platform,
+    # block_until_ready alone does not flush the execution queue
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = train_step(state, batch)
+    final_loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), final_loss
+
+    utt_per_sec = BATCH * MEASURE_STEPS / dt
+    print(json.dumps({
+        "metric": "dacs_stage1_train_throughput_data2vec_large",
+        "value": round(utt_per_sec, 3),
+        "unit": "utterances/sec/chip",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

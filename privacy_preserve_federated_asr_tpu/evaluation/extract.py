@@ -1,0 +1,111 @@
+"""Batched embedding / mask / transcript extraction (the reference L4).
+
+Replaces ``Extract_Emb`` / ``get_Embs`` / ``map_to_result``
+(reference: centralized/eval_toggle_GS.py:68-136, federated/src/update.py:
+162-212, 495-524): one jitted batched forward on TPU, per-utterance rows
+un-padded by frame length on the host, dumped to pickle-compatible
+DataFrames (same columns as the reference's ``<csv>.pkl`` so the downstream
+SVM / detail-WER / mask-statistics tools interoperate).
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from ..data.collate import LengthBucketBatcher
+from ..data.dataset import AsrExample
+from ..data.tokenizer import CTCCharTokenizer
+from ..models.config import DACSConfig
+from ..models.dacs import DACSModel
+from ..ops.decode import ad_vote, greedy_ids
+from ..train.steps import DeviceBatch
+
+
+@dataclass
+class ExtractionRow:
+    """One utterance's extraction record (reference row schema:
+    update.py:182-212 — path/text/dementia_labels/hidden_states/pred_str/
+    dementia_mask/lm_mask/pred_AD/dementia logits)."""
+
+    path: str
+    text: str | None
+    dementia_labels: int
+    hidden_states: np.ndarray      # [T_valid, D]
+    lm_mask: np.ndarray            # [T_valid, D]
+    dementia_mask: np.ndarray      # [T_valid, D]
+    pred_str: str
+    pred_AD: int
+    dementia_logits: np.ndarray    # [T_valid, 2] (AD-masked stream)
+
+
+def extract_embeddings(
+    cfg: DACSConfig,
+    params,
+    examples: Sequence[AsrExample],
+    tokenizer: CTCCharTokenizer,
+    batch_size: int = 16,
+    time_multiple: int = 16000,
+    seed: int = 0,
+) -> list[ExtractionRow]:
+    model = DACSModel(cfg)
+
+    @jax.jit
+    def forward(p, batch: DeviceBatch):
+        out = model.apply(
+            {"params": p}, batch.input_values, batch.input_lengths,
+            deterministic=True, rngs={"gumbel": jax.random.PRNGKey(seed)},
+        )
+        pred = greedy_ids(out.logits, out.frame_mask, cfg.backbone.pad_token_id)
+        ad_pred = ad_vote(out.dementia_logits_ad, out.frame_mask)
+        return (out.hidden_states, out.lm_mask, out.ad_mask,
+                out.dementia_logits_ad, pred, ad_pred, out.frame_lengths)
+
+    batcher = LengthBucketBatcher(examples, batch_size, time_multiple=time_multiple)
+    by_path = {e.path: e for e in examples}
+    rows: list[ExtractionRow] = []
+    for b in batcher.epoch(epoch_seed=0):
+        h, lm, ad, dlog, pred, ad_pred, flen = jax.device_get(
+            forward(params, DeviceBatch.from_host(b)))
+        for i, path in enumerate(b.paths):
+            n = int(flen[i])
+            ex = by_path[path]
+            rows.append(ExtractionRow(
+                path=path,
+                text=ex.text,
+                dementia_labels=ex.dementia_label,
+                hidden_states=np.asarray(h[i, :n], dtype=np.float32),
+                lm_mask=np.asarray(lm[i, :n], dtype=np.float32),
+                dementia_mask=np.asarray(ad[i, :n], dtype=np.float32),
+                pred_str=tokenizer.decode(pred[i]),
+                pred_AD=int(ad_pred[i]),
+                dementia_logits=np.asarray(dlog[i, :n], dtype=np.float32),
+            ))
+    return rows
+
+
+def rows_to_pickle(rows: list[ExtractionRow], path: str) -> None:
+    """Dump rows as a pandas DataFrame pickle with the reference's column
+    names (so reference-era analysis notebooks load it directly)."""
+    import pandas as pd
+
+    df = pd.DataFrame([{
+        "path": r.path,
+        "text": r.text,
+        "dementia_labels": r.dementia_labels,
+        # reference stores [1, T, D] (batch dim kept) — keep that shape
+        "hidden_states": r.hidden_states[None],
+        "lm_mask": r.lm_mask[None],
+        "dementia_mask": r.dementia_mask[None],
+        "pred_str": r.pred_str,
+        "pred_AD": r.pred_AD,
+        "dementia_logits": r.dementia_logits[None],
+    } for r in rows])
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(df, f)

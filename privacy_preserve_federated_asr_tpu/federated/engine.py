@@ -1,0 +1,293 @@
+"""TPU-native federated learning engine (the reference's L3 layer).
+
+The reference simulates FL with one OS process per client
+(``multiprocessing.Pool`` spawn, federated/src/federated_main.py:73-94),
+hands weights around through the filesystem (``save_pretrained`` /
+``from_pretrained`` round-trips, training.py:14-28) and averages
+state_dicts in the parent (utils.py:240-249). Here an FL round is ONE
+jitted XLA program:
+
+  broadcast global params -> vmap(local training scan) over the ``client``
+  mesh axis -> FedAvg (mean over the client axis = one ICI collective)
+  -> graft the stage's sub-network into the global params.
+
+Client-start-from-global is exact: in each reference stage only the
+aggregated sub-network is trainable, every other part is frozen, so a
+client's round-start params always equal the global params (the reference's
+per-client filesystem state carries no extra information).
+
+The 3-stage pipeline (stage{1,2,3}_training, federated_main.py:148-205):
+each stage = centralized warm-start on the "public" split + FL rounds +
+graft aggregated sub-network into the global model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data.collate import LengthBucketBatcher, pad_batch
+from ..data.dataset import AsrExample
+from ..data.tokenizer import CTCCharTokenizer
+from ..models.config import DACSConfig
+from ..models.dacs import DACSModel
+from ..parallel.fed import fedavg_stacked, graft_network
+from ..train.logging import JsonlLogger
+from ..train.optim import make_optimizer
+from ..train.steps import DeviceBatch, make_train_step
+from ..train.train_state import DACSTrainState
+from ..train.trainer import Trainer, TrainerConfig
+
+# stage -> aggregated sub-network (reference: stage1 aggregates "ASR"
+# [encoder, lm_head] pairs, stage2 "AD", stage3 "toggling_network")
+STAGE_NETWORK = {0: "ASR", 1: "AD", 2: "toggling_network"}
+
+
+@dataclass
+class FederatedConfig:
+    num_rounds: int = 10            # args.epochs
+    num_clients: int = 2            # args.num_users
+    frac: float = 1.0               # args.frac (client sampling fraction)
+    local_ep: int = 5               # args.local_ep
+    global_ep: int = 30             # args.global_ep (centralized warm-start)
+    batch_size: int = 4
+    eval_batch_size: int = 8
+    seed: int = 0
+    learning_rate: float | None = None   # None -> stage default
+    warmup_steps: int = 1000
+    weight_decay: float = 0.005
+    compute_dtype: str = "float32"
+    remat: bool = False
+    time_multiple: int = 16000
+    label_multiple: int = 32
+    max_samples: int | None = None
+    log_file: str | None = None
+    log_dir: str = "./saves/log"
+    fedavg_weighted: bool = False   # reference uses an unweighted mean
+    mesh: Any = None                # jax.sharding.Mesh with a "client" axis
+
+
+class FederatedEngine:
+    def __init__(
+        self,
+        cfg: DACSConfig,
+        fcfg: FederatedConfig,
+        client_examples: dict[Any, Sequence[AsrExample]],
+        public_examples: Sequence[AsrExample],
+        eval_examples: Sequence[AsrExample] | None,
+        tokenizer: CTCCharTokenizer,
+        params: Any,
+    ):
+        self.cfg = cfg
+        self.fcfg = fcfg
+        self.client_ids = sorted(client_examples.keys(), key=str)
+        self.client_examples = client_examples
+        self.public_examples = public_examples
+        self.eval_examples = eval_examples
+        self.tokenizer = tokenizer
+        self.global_params = params
+        self.logger = JsonlLogger(fcfg.log_dir, fcfg.log_file)
+        self._round_fns: dict = {}
+
+    # ------------------------------------------------------------------
+    # data: per-client step streams with uniform static shapes
+    # ------------------------------------------------------------------
+
+    def _client_round_batches(self, cids, round_idx: int) -> DeviceBatch:
+        """Build [K, steps, B, ...] stacked batches for one round.
+
+        All sampled clients are padded to the same step count and the same
+        (T, L) shapes so one compiled program serves the round; padding
+        batches carry sample_mask=0 (zero loss, zero grads).
+        """
+        f = self.fcfg
+        per_client: list[list] = []
+        t_max = l_max = 0
+        for cid in cids:
+            batcher = LengthBucketBatcher(
+                self.client_examples[cid], f.batch_size,
+                time_multiple=f.time_multiple, label_multiple=f.label_multiple,
+                seed=f.seed + round_idx, max_samples=f.max_samples)
+            batches = []
+            for ep in range(f.local_ep):
+                batches.extend(batcher.epoch(epoch_seed=f.seed + 1000 * round_idx + ep))
+            per_client.append(batches)
+            t_max = max(t_max, max(b.input_values.shape[1] for b in batches))
+            l_max = max(l_max, max(b.labels.shape[1] for b in batches))
+        steps = max(len(bs) for bs in per_client)
+
+        def pad_to(b, t, l):
+            iv = np.zeros((b.input_values.shape[0], t), dtype=np.float32)
+            iv[:, : b.input_values.shape[1]] = b.input_values
+            lab = np.full((b.labels.shape[0], l), -100, dtype=np.int32)
+            lab[:, : b.labels.shape[1]] = b.labels
+            return dataclasses.replace(b, input_values=iv, labels=lab)
+
+        stacked_clients = []
+        for batches in per_client:
+            dev = [DeviceBatch.from_host(pad_to(b, t_max, l_max)) for b in batches]
+            while len(dev) < steps:  # pad with an all-masked batch
+                dummy = jax.tree.map(np.zeros_like, dev[0])
+                dev.append(dataclasses.replace(dummy, labels=jnp.full_like(dev[0].labels, -100)))
+            stacked_clients.append(DeviceBatch.stack(dev))
+        return DeviceBatch.stack(stacked_clients)  # leading axes [K, steps]
+
+    # ------------------------------------------------------------------
+    # the jitted round
+    # ------------------------------------------------------------------
+
+    def _get_round_fn(self, stage: int, num_steps: int):
+        key = (stage, num_steps)
+        if key in self._round_fns:
+            return self._round_fns[key]
+        f = self.fcfg
+        cfg = self.cfg.replace(stage=stage)
+        model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
+        tx = make_optimizer(
+            jax.eval_shape(lambda: self.global_params),
+            stage=stage, learning_rate=f.learning_rate,
+            weight_decay=f.weight_decay, warmup_steps=f.warmup_steps,
+            total_steps=max(num_steps, 1),
+        )
+        train_step = make_train_step(model, tx, cfg)
+        network = STAGE_NETWORK[stage]
+
+        def local_train(params, batches, rng):
+            state = DACSTrainState(
+                step=jnp.zeros((), jnp.int32), params=params,
+                opt_state=tx.init(params), rng=rng)
+
+            def body(st, batch):
+                st, metrics = train_step(st, batch)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(body, state, batches)
+            return state.params, losses
+
+        def round_fn(global_params, stacked_batches, rngs, sample_counts):
+            k = rngs.shape[0]
+            stacked = jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), global_params)
+            new_params, losses = jax.vmap(local_train)(stacked, stacked_batches, rngs)
+            weights = sample_counts if f.fedavg_weighted else None
+            avg = fedavg_stacked(new_params, weights)
+            new_global = graft_network(global_params, avg, network)
+            return new_global, jnp.mean(losses, axis=1)
+
+        jitted = jax.jit(round_fn)
+        self._round_fns[key] = jitted
+        return jitted
+
+    def _place_round_inputs(self, params, batches, rngs, counts):
+        """With a mesh: shard the client axis of batches/rngs over the
+        ``client`` mesh axis and replicate params; jit infers the rest and
+        the FedAvg mean lowers to one collective over ICI."""
+        mesh = self.fcfg.mesh
+        if mesh is None:
+            return params, batches, rngs, counts
+        repl = NamedSharding(mesh, P())
+        csh = NamedSharding(mesh, P("client"))
+        params = jax.device_put(params, repl)
+        batches = jax.tree.map(lambda x: jax.device_put(x, csh), batches)
+        return params, batches, jax.device_put(rngs, csh), jax.device_put(counts, csh)
+
+    # ------------------------------------------------------------------
+    # host loops
+    # ------------------------------------------------------------------
+
+    def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:
+        """FedAvg rounds (reference FL_training_rounds,
+        federated_main.py:69-145)."""
+        f = self.fcfg
+        num_rounds = f.num_rounds if num_rounds is None else num_rounds
+        rng = np.random.default_rng(f.seed)
+        k_total = len(self.client_ids)
+        m = max(int(f.frac * k_total), 1)
+        for rnd in range(num_rounds):
+            cids = [self.client_ids[i]
+                    for i in rng.choice(k_total, size=m, replace=False)]
+            batches = self._client_round_batches(cids, rnd)
+            steps = batches.input_values.shape[1]
+            round_fn = self._get_round_fn(stage, steps)
+            rngs = jax.random.split(jax.random.PRNGKey(f.seed + 7919 * rnd), m)
+            counts = jnp.asarray(
+                [len(self.client_examples[c]) for c in cids], dtype=jnp.float32)
+            placed = self._place_round_inputs(self.global_params, batches, rngs, counts)
+            self.global_params, losses = round_fn(*placed)
+            self.logger.log({
+                "fl_round": rnd + 1, "stage": stage,
+                "clients": ",".join(str(c) for c in cids),
+                **{f"client{c}_loss": float(l) for c, l in zip(cids, losses)},
+            })
+            if self.eval_examples is not None:
+                ev = self.evaluate(stage)
+                ev.update({"fl_round": rnd + 1, "stage": stage})
+                self.logger.log(ev)
+        return self.global_params
+
+    def centralized_training(self, stage: int, num_epochs: int | None = None) -> Any:
+        """Global warm-start on the public split (reference
+        centralized_training -> ASRGlobalUpdate.update_weights)."""
+        f = self.fcfg
+        tr = Trainer(
+            self.cfg.replace(stage=stage), self.global_params,
+            self.public_examples, self.eval_examples, self.tokenizer,
+            TrainerConfig(
+                num_epochs=f.global_ep if num_epochs is None else num_epochs,
+                batch_size=f.batch_size, eval_batch_size=f.eval_batch_size,
+                learning_rate=f.learning_rate, warmup_steps=f.warmup_steps,
+                weight_decay=f.weight_decay, compute_dtype=f.compute_dtype,
+                remat=f.remat, time_multiple=f.time_multiple,
+                label_multiple=f.label_multiple, max_samples=f.max_samples,
+                seed=f.seed, log_dir=f.log_dir,
+                log_file=f.log_file and f"global_{f.log_file}",
+            ),
+        )
+        state = tr.train()
+        self.global_params = jax.device_get(state.params)
+        return self.global_params
+
+    def evaluate(self, stage: int) -> dict:
+        tr = Trainer(
+            self.cfg.replace(stage=stage), self.global_params, [],
+            self.eval_examples, self.tokenizer,
+            TrainerConfig(batch_size=self.fcfg.eval_batch_size,
+                          eval_batch_size=self.fcfg.eval_batch_size,
+                          time_multiple=self.fcfg.time_multiple,
+                          label_multiple=self.fcfg.label_multiple),
+        )
+        return tr.evaluate()
+
+    # ---- the 3-stage DACS FL pipeline ----
+
+    def run_stage1(self) -> Any:
+        """ASR fine-tune: centralized warm-start + FL rounds, aggregate ASR
+        (reference stage1_training, federated_main.py:148-167)."""
+        self.centralized_training(stage=0)
+        return self.run_rounds(stage=0)
+
+    def run_stage2(self) -> Any:
+        """AD classifier (reference stage2_training :169-182)."""
+        self.centralized_training(stage=1)
+        return self.run_rounds(stage=1)
+
+    def run_stage3(self) -> Any:
+        """Toggling network (reference stage3_training :184-205)."""
+        self.centralized_training(stage=2)
+        return self.run_rounds(stage=2)
+
+    def run_full_pipeline(self) -> Any:
+        self.run_stage1()
+        self.run_stage2()
+        self.run_stage3()
+        return self.global_params
+
+
+def _dtype(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]

@@ -127,6 +127,11 @@ class DACSModel(nn.Module):
         lm_masked = lm_mask * h
         ad_masked = ad_mask * h
 
+        # materialize the AM-softmax projection params (the loss consumes the
+        # kernel directly; this call is dead code XLA eliminates, but flax
+        # needs it to create/track the parameter)
+        _ = self.similar_fc(jnp.zeros((1, d), dtype=self.dtype))
+
         extra = ()
         if c.num_lms > 1:
             extra = tuple(head(lm_masked) for head in self.lm_heads)

@@ -1,0 +1,96 @@
+"""Pure train/eval step functions shared by the centralized Trainer and the
+federated engine (which vmaps them over a client mesh axis)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.collate import Batch
+from ..models.config import DACSConfig
+from ..models.dacs import DACSModel
+from ..models.objectives import dacs_loss
+from ..ops.decode import ad_vote, greedy_ids
+from .train_state import DACSTrainState
+
+
+@flax.struct.dataclass
+class DeviceBatch:
+    """Array-only view of a host Batch (a jit-able pytree)."""
+
+    input_values: jax.Array
+    input_lengths: jax.Array
+    labels: jax.Array
+    label_lengths: jax.Array
+    dementia_labels: jax.Array
+    sample_mask: jax.Array
+
+    @classmethod
+    def from_host(cls, b: Batch) -> "DeviceBatch":
+        return cls(
+            input_values=jnp.asarray(b.input_values),
+            input_lengths=jnp.asarray(b.input_lengths),
+            labels=jnp.asarray(b.labels),
+            label_lengths=jnp.asarray(b.label_lengths),
+            dementia_labels=jnp.asarray(b.dementia_labels),
+            sample_mask=jnp.asarray(b.sample_mask),
+        )
+
+    @classmethod
+    def stack(cls, batches: list["DeviceBatch"]) -> "DeviceBatch":
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_train_step(
+    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig
+) -> Callable[[DACSTrainState, DeviceBatch], tuple[DACSTrainState, dict]]:
+    """Build the pure train step for one optimizer/config pair."""
+
+    def train_step(state: DACSTrainState, batch: DeviceBatch):
+        rngs, new_rng = state.next_rngs()
+        backbone_det = cfg.stage != 0  # frozen encoder: dropout off (parity)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params}, batch.input_values, batch.input_lengths,
+                deterministic=False, backbone_deterministic=backbone_det, rngs=rngs,
+            )
+            return dacs_loss(out, batch.labels, batch.label_lengths,
+                             batch.dementia_labels, cfg,
+                             params["similar_fc"]["kernel"], batch.sample_mask)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: DACSModel, cfg: DACSConfig):
+    def eval_step(params, batch: DeviceBatch):
+        out = model.apply(
+            {"params": params}, batch.input_values, batch.input_lengths,
+            deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
+        )
+        loss, metrics = dacs_loss(out, batch.labels, batch.label_lengths,
+                                  batch.dementia_labels, cfg,
+                                  params["similar_fc"]["kernel"], batch.sample_mask)
+        eval_logits = out.logits if cfg.stage == 2 else out.logits_unmask
+        pred_ids = greedy_ids(eval_logits, out.frame_mask, cfg.backbone.pad_token_id)
+        ad_pred = ad_vote(
+            out.dementia_logits_ad if cfg.stage == 2 else out.dementia_logits_unmask,
+            out.frame_mask)
+        return loss, pred_ids, ad_pred
+
+    return eval_step

@@ -1,0 +1,159 @@
+"""Single-program trainer: one jitted train step serves every DACS recipe.
+
+Replaces the reference's HF ``Trainer`` subclasses (``CustomTrainer``
+federated/src/update.py:51-98, ``DementiaGRLTrainer``
+centralized/trainer_data2vec.py:18-71): stage routing is config (loss terms
++ optimizer masks), not code forks. The hot loop is a donated, jitted
+``value_and_grad`` over the full DACS graph; batches come from the
+length-bucketed batcher so XLA compiles a handful of static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.collate import Batch, LengthBucketBatcher
+from ..data.dataset import AsrExample
+from ..data.tokenizer import CTCCharTokenizer
+from ..models.config import DACSConfig
+from ..models.dacs import DACSModel
+from .checkpoint import CheckpointManager
+from .logging import JsonlLogger, StepTimer
+from .metrics import wer
+from .optim import make_optimizer
+from .steps import DeviceBatch, make_eval_step, make_train_step
+from .train_state import DACSTrainState, create_train_state
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@dataclass
+class TrainerConfig:
+    num_epochs: int = 1
+    batch_size: int = 8
+    eval_batch_size: int = 8
+    learning_rate: float | None = None      # None -> stage default (1e-5/1e-4/1e-3)
+    warmup_steps: int = 1000
+    weight_decay: float = 0.005
+    max_grad_norm: float = 1.0
+    eval_steps: int = 500
+    logging_steps: int = 50
+    save_steps: int = 500
+    save_total_limit: int = 2
+    seed: int = 0
+    compute_dtype: str = "float32"
+    remat: bool = False
+    time_multiple: int = 16000
+    label_multiple: int = 32
+    max_samples: int | None = None           # drop utterances longer than this
+    log_file: str | None = None
+    log_dir: str = "./saves/log"
+    save_dir: str | None = None
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: DACSConfig,
+        params,
+        train_examples: Sequence[AsrExample],
+        eval_examples: Sequence[AsrExample] | None,
+        tokenizer: CTCCharTokenizer,
+        tcfg: TrainerConfig = TrainerConfig(),
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.tokenizer = tokenizer
+        self.model = DACSModel(cfg, dtype=_DTYPES[tcfg.compute_dtype], remat=tcfg.remat)
+        self.logger = JsonlLogger(tcfg.log_dir, tcfg.log_file)
+        self.ckpt = (CheckpointManager(tcfg.save_dir, tcfg.save_total_limit)
+                     if tcfg.save_dir else None)
+
+        self.train_batcher = LengthBucketBatcher(
+            train_examples, tcfg.batch_size, time_multiple=tcfg.time_multiple,
+            label_multiple=tcfg.label_multiple, seed=tcfg.seed,
+            max_samples=tcfg.max_samples,
+        )
+        self.eval_batcher = (
+            LengthBucketBatcher(
+                eval_examples, tcfg.eval_batch_size, time_multiple=tcfg.time_multiple,
+                label_multiple=tcfg.label_multiple, seed=tcfg.seed)
+            if eval_examples else None
+        )
+        total_steps = max(len(self.train_batcher) * tcfg.num_epochs, 1)
+        self.tx = make_optimizer(
+            jax.tree.map(lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.float32), params),
+            stage=cfg.stage,
+            learning_rate=tcfg.learning_rate,
+            weight_decay=tcfg.weight_decay,
+            max_grad_norm=tcfg.max_grad_norm,
+            warmup_steps=tcfg.warmup_steps,
+            total_steps=total_steps,
+        )
+        self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
+        self._train_step = jax.jit(
+            make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
+        eval_step = make_eval_step(self.model, cfg)
+        self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
+
+    # ---- host loops ----
+
+    def _batch_args(self, b: Batch):
+        return (DeviceBatch.from_host(b),)
+
+    def evaluate(self) -> dict:
+        assert self.eval_batcher is not None
+        refs, hyps, losses = [], [], []
+        ad_correct = ad_total = 0
+        for b in self.eval_batcher.epoch(epoch_seed=0):
+            loss, pred_ids, ad_pred = self._eval_step(self.state, *self._batch_args(b))
+            pred_ids = np.asarray(pred_ids)
+            ad_pred = np.asarray(ad_pred)
+            losses.append(float(loss))
+            for i in range(len(b.paths)):  # only real rows have paths
+                label_ids = b.labels[i][b.labels[i] >= 0]
+                refs.append(self.tokenizer.decode(label_ids, group_tokens=False))
+                hyps.append(self.tokenizer.decode(pred_ids[i]))
+                ad_correct += int(ad_pred[i] == b.dementia_labels[i])
+                ad_total += 1
+        return {
+            "eval_loss": float(np.mean(losses)),
+            "eval_wer": wer(refs, hyps),
+            "eval_ad_acc": ad_correct / max(ad_total, 1),
+        }
+
+    def train(self) -> DACSTrainState:
+        t = self.tcfg
+        timer = StepTimer()
+        step = int(self.state.step)
+        for epoch in range(t.num_epochs):
+            for b in self.train_batcher.epoch(epoch_seed=t.seed + epoch):
+                self.state, metrics = self._train_step(self.state, *self._batch_args(b))
+                step += 1
+                timer.update(int(b.sample_mask.sum()))
+                if step % t.logging_steps == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host.update({"step": step, "epoch": epoch + 1})
+                    self.logger.log(host)
+                if self.eval_batcher is not None and step % t.eval_steps == 0:
+                    ev = self.evaluate()
+                    ev["step"] = step
+                    self.logger.log(ev)
+                if self.ckpt is not None and step % t.save_steps == 0:
+                    self.ckpt.save(jax.device_get(self.state.params), step,
+                                   metadata={"stage": self.cfg.stage})
+        summary = timer.summary()
+        summary["step"] = step
+        self.logger.log(summary)
+        if self.ckpt is not None:
+            self.ckpt.save_final(jax.device_get(self.state.params),
+                                 metadata={"stage": self.cfg.stage})
+        return self.state

@@ -1,0 +1,180 @@
+"""Federated engine tests: weight surgery, FedAvg math, round invariants,
+client-parallel vs sequential equivalence, and mesh execution on the
+8-virtual-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+from privacy_preserve_federated_asr_tpu.federated import FederatedConfig, FederatedEngine
+from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+from privacy_preserve_federated_asr_tpu.parallel import (
+    average_weights,
+    fedavg_stacked,
+    graft_network,
+    make_mesh,
+    network_mask,
+    select_network,
+)
+from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+TOK = CTCCharTokenizer()
+
+
+def _tiny_cfg(stage=0):
+    return DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0),
+        stage=stage, ad_loss="cel")
+
+
+def _examples(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        ln = 3200
+        text = ["HI", "YES", "NO WAY", "OK GO"][i % 4]
+        arr = rng.normal(0, 1, size=ln).astype(np.float32)
+        out.append(AsrExample(
+            path=f"S{seed}{i:02d}_PAR_0_0.wav", array=arr, text=text,
+            dementia_label=i % 2, input_values=arr,
+            labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+    return out
+
+
+def test_network_select_and_graft():
+    cfg = _tiny_cfg()
+    p1 = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    p2 = init_dacs_params(cfg, jax.random.PRNGKey(1))
+
+    sel = select_network(p1, "ASR")
+    assert set(sel) == {"backbone", "lm_head"}
+    assert set(select_network(p1, "AD")) == {"dementia_head"}
+    assert set(select_network(p1, "toggling_network")) == {"arbitrator"}
+
+    grafted = graft_network(p1, p2, "AD")
+    np.testing.assert_array_equal(grafted["dementia_head"]["kernel"],
+                                  p2["dementia_head"]["kernel"])
+    np.testing.assert_array_equal(grafted["lm_head"]["kernel"], p1["lm_head"]["kernel"])
+    np.testing.assert_array_equal(
+        grafted["backbone"]["feature_projection"]["projection"]["kernel"],
+        p1["backbone"]["feature_projection"]["projection"]["kernel"])
+
+    mask = network_mask(p1, "toggling_network")
+    assert mask["arbitrator"]["kernel"] and not mask["lm_head"]["kernel"]
+
+
+def test_fedavg_stacked_matches_average_weights():
+    cfg = _tiny_cfg()
+    ps = [init_dacs_params(cfg, jax.random.PRNGKey(i)) for i in range(3)]
+    host_avg = average_weights(ps)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+    dev_avg = fedavg_stacked(stacked)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        host_avg, dev_avg)
+    # weighted
+    w_host = average_weights(ps, weights=[1.0, 2.0, 3.0])
+    w_dev = fedavg_stacked(stacked, jnp.array([1.0, 2.0, 3.0]))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5),
+        w_host, w_dev)
+
+
+def _make_engine(stage, mesh=None, seed=0):
+    cfg = _tiny_cfg(stage=stage)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, global_ep=1,
+        batch_size=2, time_multiple=3200, seed=seed, warmup_steps=1, mesh=mesh)
+    clients = {0: _examples(4, seed=1), 1: _examples(4, seed=2)}
+    return FederatedEngine(cfg, fcfg, clients, _examples(4, seed=3), None, TOK, params)
+
+
+@pytest.mark.parametrize("stage", [0, 1, 2])
+def test_round_only_updates_stage_network(stage):
+    from privacy_preserve_federated_asr_tpu.federated.engine import STAGE_NETWORK
+
+    eng = _make_engine(stage)
+    before = jax.tree.map(np.array, eng.global_params)
+    after = eng.run_rounds(stage=stage, num_rounds=1)
+    mask = network_mask(before, STAGE_NETWORK[stage])
+
+    changed = unchanged_ok = True
+    for (path, b), a, m in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree.leaves(after), jax.tree.leaves(mask),
+    ):
+        if not m:
+            np.testing.assert_array_equal(b, np.asarray(a), err_msg=str(path))
+    # something in the stage network must have moved
+    diffs = [
+        float(np.abs(np.asarray(a) - b).max())
+        for (path, b), a, m in zip(
+            jax.tree_util.tree_flatten_with_path(before)[0],
+            jax.tree.leaves(after), jax.tree.leaves(mask)) if m
+    ]
+    assert max(diffs) > 0, f"stage {stage}: aggregated network unchanged"
+
+
+def test_engine_with_mesh_matches_no_mesh():
+    after_plain = _make_engine(1).run_rounds(stage=1, num_rounds=1)
+    mesh = make_mesh(client=2, data=4)
+    after_mesh = _make_engine(1, mesh=mesh).run_rounds(stage=1, num_rounds=1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        after_plain, after_mesh)
+
+
+def test_client_parallel_matches_sequential():
+    """The vmapped round must equal training each client separately on the
+    same data/rng and averaging on the host (N clients on 1 program == N
+    independent programs) — SURVEY.md §4's client-count invariance test."""
+    eng = _make_engine(1)
+    batches = eng._client_round_batches(eng.client_ids, 0)
+    steps = batches.input_values.shape[1]
+    rngs = jax.random.split(jax.random.PRNGKey(eng.fcfg.seed + 0), 2)
+
+    # engine result
+    after = eng.run_rounds(stage=1, num_rounds=1)
+
+    # sequential: rebuild the same local_train per client
+    import optax
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import make_train_step
+    from privacy_preserve_federated_asr_tpu.train.train_state import DACSTrainState
+
+    cfg = eng.cfg.replace(stage=1)
+    model = DACSModel(cfg)
+    tx = make_optimizer(jax.eval_shape(lambda: eng.global_params), stage=1,
+                        warmup_steps=1, total_steps=steps)
+    train_step = make_train_step(model, tx, cfg)
+    params0 = _make_engine(1).global_params  # fresh copy of same init
+
+    client_params = []
+    for i in range(2):
+        state = DACSTrainState(step=jnp.zeros((), jnp.int32), params=params0,
+                               opt_state=tx.init(params0), rng=rngs[i])
+        cb = jax.tree.map(lambda x: x[i], batches)
+        for s in range(steps):
+            state, _ = train_step(state, jax.tree.map(lambda x: x[s], cb))
+        client_params.append(state.params)
+    manual_global = graft_network(params0, average_weights(client_params), "AD")
+
+    np.testing.assert_allclose(
+        np.asarray(after["dementia_head"]["kernel"]),
+        np.asarray(manual_global["dementia_head"]["kernel"]), rtol=1e-5, atol=1e-6)
+
+
+def test_full_pipeline_smoke():
+    eng = _make_engine(0)
+    eng.fcfg.global_ep = 1
+    final = eng.run_full_pipeline()
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(
+        jax.tree.map(np.asarray, final)))

@@ -1,0 +1,132 @@
+"""Trainer/optimizer behavior tests: stage freezing invariants, loss
+descent, eval + WER plumbing, checkpoint round-trip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+from privacy_preserve_federated_asr_tpu.train.optim import (
+    make_optimizer,
+    stage_trainable_predicate,
+    trainable_mask,
+)
+from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+from privacy_preserve_federated_asr_tpu.train.trainer import Trainer, TrainerConfig
+from privacy_preserve_federated_asr_tpu.train.checkpoint import CheckpointManager
+
+TOK = CTCCharTokenizer()
+
+
+def _tiny_cfg(stage=0, **kw):
+    return DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0),
+        stage=stage, ad_loss="cel", **kw,
+    )
+
+
+def _examples(n=8, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        ln = 3200 + 320 * int(rng.integers(0, 4))
+        text = ["HI", "YES", "NO WAY", "OK"][i % 4]
+        arr = rng.normal(0, 1, size=ln).astype(np.float32)
+        out.append(AsrExample(
+            path=f"S{i:03d}_PAR_0_0.wav", array=arr, text=text,
+            dementia_label=i % 2, input_values=arr,
+            labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+    return out
+
+
+def test_stage_trainable_predicate():
+    pred0 = stage_trainable_predicate(0)
+    assert pred0(("backbone", "encoder", "layers_0", "attention", "q_proj", "kernel"))
+    assert not pred0(("backbone", "feature_extractor", "conv_layers_0", "conv", "kernel"))
+    assert pred0(("lm_head", "kernel"))
+    assert not pred0(("arbitrator", "kernel"))
+    pred1 = stage_trainable_predicate(1)
+    assert pred1(("dementia_head", "bias"))
+    assert not pred1(("backbone", "encoder", "layer_norm", "scale"))
+    assert not pred1(("lm_head", "kernel"))
+    pred2 = stage_trainable_predicate(2)
+    assert pred2(("arbitrator", "kernel"))
+    assert not pred2(("dementia_head", "kernel"))
+
+
+@pytest.mark.parametrize("stage", [0, 1, 2])
+def test_trainer_respects_stage_freezing(stage, tmp_path):
+    cfg = _tiny_cfg(stage=stage)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    before = jax.tree.map(np.array, params)
+    tr = Trainer(cfg, params, _examples(), None, TOK,
+                 TrainerConfig(num_epochs=1, batch_size=4, time_multiple=3200,
+                               warmup_steps=1, logging_steps=100))
+    state = tr.train()
+    after = jax.device_get(state.params)
+    mask = trainable_mask(before, stage)
+
+    flat_before = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_after = jax.tree.leaves(after)
+    flat_mask = jax.tree.leaves(mask)
+    changed_any = False
+    for (path, b), a, m in zip(flat_before, flat_after, flat_mask):
+        if not m:
+            np.testing.assert_array_equal(b, a, err_msg=str(path))
+        elif not np.allclose(b, a):
+            changed_any = True
+    assert changed_any, f"stage {stage}: no trainable parameter changed"
+
+
+def test_loss_decreases_stage0():
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(1))
+    tr = Trainer(cfg, params, _examples(4), None, TOK,
+                 TrainerConfig(num_epochs=30, batch_size=4, time_multiple=3200,
+                               learning_rate=5e-4, warmup_steps=1, logging_steps=1000))
+    b = next(tr.train_batcher.epoch(0))
+    args = tr._batch_args(b)
+    first = None
+    for i in range(30):
+        tr.state, metrics = tr._train_step(tr.state, *args)
+        if first is None:
+            first = float(metrics["ctc_unmask"])
+    last = float(metrics["ctc_unmask"])
+    assert last < first * 0.8, (first, last)
+
+
+def test_evaluate_returns_wer_and_logs(tmp_path):
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(2))
+    tr = Trainer(cfg, params, _examples(4), _examples(4, seed=3), TOK,
+                 TrainerConfig(num_epochs=1, batch_size=2, time_multiple=3200,
+                               log_file="test_log.txt", log_dir=str(tmp_path)))
+    ev = tr.evaluate()
+    # untrained model babbles -> insertion-dominated WER can exceed 1
+    assert 0.0 <= ev["eval_wer"] < 100.0
+    assert np.isfinite(ev["eval_loss"])
+    assert 0.0 <= ev["eval_ad_acc"] <= 1.0
+    tr.logger.log(ev)
+    assert (tmp_path / "test_log.txt").exists()
+
+
+def test_checkpoint_roundtrip_and_prune(tmp_path):
+    cfg = _tiny_cfg()
+    params = init_dacs_params(cfg, jax.random.PRNGKey(3))
+    cm = CheckpointManager(str(tmp_path / "ck"), save_total_limit=2)
+    for step in (100, 200, 300):
+        cm.save(jax.device_get(params), step, metadata={"stage": 0})
+    assert cm.latest_step() == 300
+    assert not (tmp_path / "ck" / "checkpoint-100").exists()  # pruned
+    restored = cm.restore(300)
+    jax.tree.map(np.testing.assert_array_equal, jax.device_get(params), restored)
+    cm.save_final(jax.device_get(params), metadata={"stage": 0})
+    final = cm.restore("final")
+    jax.tree.map(np.testing.assert_array_equal, jax.device_get(params), final)
