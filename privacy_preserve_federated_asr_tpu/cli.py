@@ -1,0 +1,338 @@
+"""Command-line interface — the reference's script surface as subcommands.
+
+Reference script -> subcommand map:
+  centralized/finetune_ASRs.py, trainer_data2vec_2st.py  -> ``train``
+  federated/src/federated_main.py (options.py flags)     -> ``federated``
+  centralized/eval_toggle_GS.py & friends                -> ``extract``
+  centralized/detail_wer.py                              -> ``detail-wer``
+  centralized/pred_AD_svm.py                             -> ``svm``
+  centralized/feat_scoring.py                            -> ``feat-scoring``
+
+Flag names follow federated/src/options.py (--STAGE, --AD_loss, --GS_TAU,
+--W_LOSS, --TOGGLE_RATIO, --LAMBDA, --epochs, --num_users, --frac,
+--local_ep, --global_ep, ...) so reference users can carry their invocation
+lines over.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+BACKBONES = {
+    "data2vec": "data2vec_audio_large",
+    "data2vec-base": "data2vec_audio_base",
+    "wav2vec2": "wav2vec2_large_960h_lv60",
+    "wav2vec2-base": "wav2vec2_base_960h",
+    "hubert": "hubert_large_ls960",
+    "unispeech": "unispeech_sat_large",
+    "tiny": "tiny_for_tests",  # smoke tests
+}
+
+
+def _backbone_cfg(name: str):
+    from .models import BackboneConfig
+
+    return getattr(BackboneConfig, BACKBONES[name])()
+
+
+def _dacs_cfg(args):
+    from .models import DACSConfig
+
+    return DACSConfig(
+        backbone=_backbone_cfg(args.model_type),
+        stage=args.STAGE,
+        lambda_grl=args.LAMBDA,
+        gs_tau=args.GS_TAU,
+        toggle_ratio=args.TOGGLE_RATIO,
+        ad_loss=args.AD_loss,
+        w_loss=tuple(args.W_LOSS) if args.W_LOSS else (0.1, 0.9),
+        num_lms=args.num_lms,
+    )
+
+
+def load_params(cfg, model_in: str | None, seed: int = 0):
+    """Load initial params: an orbax export from this framework, an HF torch
+    checkpoint directory/file (ported), or random init."""
+    import jax
+
+    from .train.train_state import init_dacs_params
+
+    params = init_dacs_params(cfg, jax.random.PRNGKey(seed))
+    if not model_in:
+        print("[init] random init (no --model_in given)")
+        return params
+    p = Path(model_in)
+    if (p / "_CHECKPOINT_METADATA").exists() or (p / "manifest.ocdbt").exists() \
+            or (p / "metadata.json").exists():
+        from .train.checkpoint import load_params as orbax_load
+
+        print(f"[init] orbax params from {p}")
+        return orbax_load(str(p))
+    # torch checkpoint (file or HF-style dir)
+    from .models.port import port_dacs_heads, port_hf_state_dict
+
+    bin_path = p
+    if p.is_dir():
+        for cand in ("pytorch_model.bin", "model.safetensors"):
+            if (p / cand).exists():
+                bin_path = p / cand
+                break
+    print(f"[init] porting torch checkpoint {bin_path}")
+    if str(bin_path).endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(str(bin_path))
+    else:
+        import torch
+
+        sd = torch.load(str(bin_path), map_location="cpu", weights_only=True)
+    params["backbone"] = port_hf_state_dict(sd, cfg.backbone)
+    params.update(port_dacs_heads(sd))
+    return params
+
+
+def _load_examples(args, csv_path, with_transcript=True):
+    from .data.dataset import csv_to_examples, load_spk2label, prepare_examples
+    from .data.tokenizer import CTCCharTokenizer
+
+    tok = CTCCharTokenizer()
+    spk2label = load_spk2label(args.spk2label) if args.spk2label else {}
+    exs = csv_to_examples(args.audio_dir, csv_path, spk2label,
+                          with_transcript=with_transcript,
+                          cache_dir=args.dataset_cache)
+    return prepare_examples(exs, tok), tok
+
+
+def _add_common(p):
+    p.add_argument("--model_type", default="data2vec", choices=sorted(BACKBONES))
+    p.add_argument("-model_in", "--model_in_path", default=None)
+    p.add_argument("-model_out", "--model_out_path", default="./saves/model")
+    p.add_argument("-log", "--log_path", default="train.txt")
+    p.add_argument("-st", "--STAGE", type=int, default=0)
+    p.add_argument("-lam", "--LAMBDA", type=float, default=0.5)
+    p.add_argument("-gs_tau", "--GS_TAU", type=float, default=1.0)
+    p.add_argument("-toggle_rt", "--TOGGLE_RATIO", type=float, default=0.0)
+    p.add_argument("-ad_loss", "--AD_loss", default="cel")
+    p.add_argument("-w_loss", "--W_LOSS", type=float, nargs="+", default=None)
+    p.add_argument("--num_lms", type=int, default=1)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("-lr", "--learning_rate", type=float, default=None)
+    p.add_argument("--eval_steps", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--audio_dir", default="./data/clips")
+    p.add_argument("--train_csv", default="./data/mid_csv/train.csv")
+    p.add_argument("--test_csv", default="./data/mid_csv/test.csv")
+    p.add_argument("--spk2label", default="./meta-data/test_dic.npy")
+    p.add_argument("--dataset_cache", default="./dataset_cache")
+    p.add_argument("-ckpt", "--checkpoint", default=None)
+
+
+def cmd_train(args):
+    from .train.trainer import Trainer, TrainerConfig
+
+    cfg = _dacs_cfg(args)
+    train_exs, tok = _load_examples(args, args.train_csv)
+    test_exs, _ = _load_examples(args, args.test_csv)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    tr = Trainer(cfg, params, train_exs, test_exs, tok, TrainerConfig(
+        num_epochs=args.epochs, batch_size=args.train_batch_size,
+        eval_batch_size=args.eval_batch_size, learning_rate=args.learning_rate,
+        eval_steps=args.eval_steps, seed=args.seed,
+        compute_dtype=args.compute_dtype, remat=args.remat,
+        log_file=args.log_path, save_dir=args.model_out_path))
+    tr.train()
+    print(json.dumps(tr.evaluate()))
+
+
+def cmd_federated(args):
+    import jax
+
+    from .data.splits import CLIENT_SPLITS_ADRESS, filter_by_speakers
+    from .federated import FederatedConfig, FederatedEngine
+    from .train.checkpoint import save_params
+
+    cfg = _dacs_cfg(args)
+    train_exs, tok = _load_examples(args, args.train_csv)
+    test_exs, _ = _load_examples(args, args.test_csv)
+    params = load_params(cfg, args.model_in_path, args.seed)
+
+    clients = {cid: filter_by_speakers(train_exs, CLIENT_SPLITS_ADRESS.get(cid, ()))
+               for cid in range(args.num_users)}
+    public = filter_by_speakers(train_exs, CLIENT_SPLITS_ADRESS["public"])
+    if any(len(v) == 0 for v in clients.values()) or len(public) == 0:
+        # dataset doesn't use the ADReSS speaker ids: partition the
+        # available speakers round-robin instead (public = all)
+        print("[federated] ADReSS speaker splits empty for this dataset; "
+              "partitioning speakers round-robin across clients")
+        speakers = sorted({e.path.split("_")[0] for e in train_exs})
+        clients = {
+            cid: filter_by_speakers(train_exs, speakers[cid::args.num_users])
+            for cid in range(args.num_users)
+        }
+        public = train_exs
+    fcfg = FederatedConfig(
+        num_rounds=args.epochs, num_clients=args.num_users, frac=args.frac,
+        local_ep=args.local_ep, global_ep=args.global_ep,
+        batch_size=args.train_batch_size, eval_batch_size=args.eval_batch_size,
+        seed=args.seed, learning_rate=args.learning_rate,
+        compute_dtype=args.compute_dtype, remat=args.remat,
+        log_file=args.log_path)
+    eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params)
+
+    out = Path(args.model_out_path)
+    if args.FL_STAGE in (1, 0):
+        eng.run_stage1()
+        save_params(str(out) + "_FLASR_global/final", eng.global_params,
+                    {"fl_stage": 1})
+    if args.FL_STAGE in (2, 0):
+        eng.run_stage2()
+        save_params(str(out) + "_FLAD_global/final", eng.global_params,
+                    {"fl_stage": 2})
+    if args.FL_STAGE in (3, 0):
+        eng.run_stage3()
+        save_params(str(out) + "_final_global/final", eng.global_params,
+                    {"fl_stage": 3})
+    print(json.dumps(eng.evaluate(stage=min(max(args.FL_STAGE - 1, 0), 2))))
+
+
+def cmd_extract(args):
+    from .evaluation import extract_embeddings, rows_to_pickle
+
+    cfg = _dacs_cfg(args)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    out_dir = Path(args.csv_out_dir)
+    for split, csv_path in (("", args.test_csv), ("_train", args.train_csv)):
+        exs, tok = _load_examples(args, csv_path)
+        rows = extract_embeddings(cfg, params, exs, tok,
+                                  batch_size=args.eval_batch_size)
+        rows_to_pickle(rows, str(out_dir / f"{args.csv_name}{split}.pkl"))
+        print(f"[extract] wrote {len(rows)} rows -> {out_dir}/{args.csv_name}{split}.pkl")
+
+
+def cmd_detail_wer(args):
+    from .evaluation import detailed_wer_report
+
+    with open(args.pkl, "rb") as f:
+        df = pickle.load(f)
+    rows = df.to_dict("records")
+    id2mmse = None
+    if args.id2mmse:
+        id2mmse = np.load(args.id2mmse, allow_pickle=True).tolist()
+    rep = detailed_wer_report(rows, level=args.type, id2mmse=id2mmse,
+                              out_dir=args.out_dir)
+    print(json.dumps(rep, indent=2))
+
+
+def cmd_svm(args):
+    from .data.dataset import load_spk2label
+    from .evaluation import predict_ad_svm
+
+    with open(args.train_pkl, "rb") as f:
+        train_rows = pickle.load(f).to_dict("records")
+    with open(args.test_pkl, "rb") as f:
+        test_rows = pickle.load(f).to_dict("records")
+    text_train = text_test = None
+    if args.text_train_pkl:
+        import pandas as pd
+
+        t1 = pd.read_pickle(args.text_train_pkl)
+        t2 = pd.read_pickle(args.text_test_pkl)
+        text_train = dict(zip(t1["session"], t1["Embedding"]))
+        text_test = dict(zip(t2["session"], t2["Embedding"]))
+    m = predict_ad_svm(
+        train_rows, test_rows, load_spk2label(args.spk2label),
+        pooling=args.squeeze, masked=args.masked, mode=args.mode,
+        text_embeddings_train=text_train, text_embeddings_test=text_test,
+        par_only=not args.INV, results_csv=args.results_csv, title=args.title)
+    print(json.dumps(m))
+
+
+def cmd_feat_scoring(args):
+    from .evaluation import mask_node_statistics, per_utt_on_rates
+
+    with open(args.pkl, "rb") as f:
+        rows = pickle.load(f).to_dict("records")
+    stats = mask_node_statistics(rows)
+    rates = per_utt_on_rates(rows)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.savez(out / "node_stats.npz", **stats)
+    np.savez(out / "utt_on_rates.npz", **rates)
+    print(json.dumps({k: float(np.mean(v)) for k, v in {**stats, **rates}.items()}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="privacy_preserve_federated_asr_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="centralized training (any stage/recipe)")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=30)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("federated", help="federated 3-stage pipeline")
+    _add_common(p)
+    p.add_argument("-fl_st", "--FL_STAGE", type=int, default=0,
+                   help="1/2/3, or 0 = full pipeline")
+    p.add_argument("--epochs", type=int, default=10, help="FL rounds")
+    p.add_argument("--num_users", type=int, default=2)
+    p.add_argument("--frac", type=float, default=1.0)
+    p.add_argument("--local_ep", type=int, default=5)
+    p.add_argument("--global_ep", type=int, default=30)
+    p.add_argument("-sl", "--supervised_level", type=float, default=1.0)
+    p.set_defaults(fn=cmd_federated)
+
+    p = sub.add_parser("extract", help="dump embeddings/masks/transcripts")
+    _add_common(p)
+    p.add_argument("-csv", "--csv_name", default="extract")
+    p.add_argument("--csv_out_dir", default="./saves/results")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("detail-wer", help="grouped WER report")
+    p.add_argument("--pkl", required=True)
+    p.add_argument("-t", "--type", type=int, default=2, choices=[1, 2, 3])
+    p.add_argument("--id2mmse", default=None)
+    p.add_argument("--out_dir", default=None)
+    p.set_defaults(fn=cmd_detail_wer)
+
+    p = sub.add_parser("svm", help="SVM AD prediction with speaker vote")
+    p.add_argument("--train_pkl", required=True)
+    p.add_argument("--test_pkl", required=True)
+    p.add_argument("--spk2label", default="./meta-data/test_dic.npy")
+    p.add_argument("-sq", "--squeeze", default="min",
+                   choices=["mean", "min", "max", "median"])
+    p.add_argument("--mode", default="audio", choices=["audio", "text", "fusion"])
+    p.add_argument("--masked", action="store_true")
+    p.add_argument("-INV", "--INV", action="store_true")
+    p.add_argument("--text_train_pkl", default=None)
+    p.add_argument("--text_test_pkl", default=None)
+    p.add_argument("--results_csv", default="./saves/results/SVM/results.csv")
+    p.add_argument("--title", default="dacs_tpu")
+    p.set_defaults(fn=cmd_svm)
+
+    p = sub.add_parser("feat-scoring", help="mask statistics")
+    p.add_argument("--pkl", required=True)
+    p.add_argument("--out_dir", default="./saves/results/FSM_info")
+    p.set_defaults(fn=cmd_feat_scoring)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

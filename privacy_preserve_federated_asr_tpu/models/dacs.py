@@ -47,7 +47,10 @@ class DACSOutputs:
     ad_score: jax.Array               # [B, T, D, 2]
     frame_mask: jax.Array             # [B, T] valid-frame indicator
     frame_lengths: jax.Array          # [B]
-    extra_logits: tuple = ()          # N-best lm_heads outputs when num_lms > 1
+    # N-best lm_heads streams when num_lms > 1: tuple of
+    # (head(h), head(lm_masked), head(ad_masked)) triples
+    # (reference: Data2VecAudioForCTCMultitask_model.py:420-431)
+    extra_logits: tuple = ()
 
 
 class DACSModel(nn.Module):
@@ -134,7 +137,8 @@ class DACSModel(nn.Module):
 
         extra = ()
         if c.num_lms > 1:
-            extra = tuple(head(lm_masked) for head in self.lm_heads)
+            extra = tuple(
+                (head(h), head(lm_masked), head(ad_masked)) for head in self.lm_heads)
 
         return DACSOutputs(
             hidden_states=h,

@@ -88,12 +88,18 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    trainable_pred: Callable[[tuple[str, ...]], bool] | None = None,
 ) -> optax.GradientTransformation:
-    """AdamW with stage masking, decay masking, and global-norm clipping."""
-    if learning_rate is None:
-        learning_rate = make_lr_schedule(STAGE_LRS[stage], warmup_steps, total_steps)
+    """AdamW with stage masking, decay masking, and global-norm clipping.
 
-    trainable = stage_trainable_predicate(stage)
+    ``trainable_pred`` overrides the DACS stage predicate (used by the
+    single-toggle / FSM variant recipes, models/variants.py).
+    """
+    if learning_rate is None:
+        learning_rate = make_lr_schedule(
+            STAGE_LRS.get(stage, 1e-4), warmup_steps, total_steps)
+
+    trainable = trainable_pred or stage_trainable_predicate(stage)
     train_mask = jax.tree_util.tree_map_with_path(
         lambda p, _: trainable(_path_strings(p)), params_shape
     )

@@ -1,0 +1,93 @@
+"""CLI smoke tests: run the real command surface end-to-end on synthetic
+wavs (train -> extract -> svm / detail-wer / feat-scoring)."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from privacy_preserve_federated_asr_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    clips = root / "clips"
+    clips.mkdir()
+    rng = np.random.default_rng(0)
+    rows = ["path,sentence"]
+    for i in range(6):
+        spk = f"S{i % 3:03d}"
+        name = f"{spk}_PAR_{i}_0.wav"
+        wav = (rng.normal(0, 0.1, 4000) * 32767).astype(np.int16)
+        wavfile.write(clips / name, 16000, wav)
+        rows.append(f"{name},hello there")
+    (root / "train.csv").write_text("\n".join(rows[:5]) + "\n")
+    (root / "test.csv").write_text("\n".join([rows[0]] + rows[5:]) + "\n")
+    np.save(root / "spk2label.npy", {"S000": 0, "S001": 1, "S002": 0})
+    return root
+
+
+def _common(root, tmp):
+    return [
+        "--model_type", "tiny",
+        "--audio_dir", str(root / "clips"),
+        "--train_csv", str(root / "train.csv"),
+        "--test_csv", str(root / "test.csv"),
+        "--spk2label", str(root / "spk2label.npy"),
+        "--dataset_cache", str(tmp / "cache"),
+        "--compute_dtype", "float32",
+        "--train_batch_size", "2", "--eval_batch_size", "2",
+    ]
+
+
+def test_cli_train_and_extract_and_analyze(data_dir, tmp_path, capsys):
+    # train 1 epoch stage 0
+    main(["train", "--epochs", "1", "-st", "0",
+          "-model_out", str(tmp_path / "model"),
+          "-log", "cli_test.txt",
+          *_common(data_dir, tmp_path)])
+    out = capsys.readouterr().out
+    assert "eval_wer" in out
+
+    # extract from the saved final checkpoint
+    main(["extract", "-st", "2",
+          "-model_in", str(tmp_path / "model" / "final"),
+          "-csv", "cli_test", "--csv_out_dir", str(tmp_path / "results"),
+          *_common(data_dir, tmp_path)])
+    assert (tmp_path / "results" / "cli_test.pkl").exists()
+    assert (tmp_path / "results" / "cli_test_train.pkl").exists()
+
+    # downstream: svm
+    main(["svm", "--train_pkl", str(tmp_path / "results" / "cli_test_train.pkl"),
+          "--test_pkl", str(tmp_path / "results" / "cli_test.pkl"),
+          "--spk2label", str(data_dir / "spk2label.npy"),
+          "-sq", "mean",
+          "--results_csv", str(tmp_path / "results" / "SVM" / "results.csv")])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(m) == {"ACC", "BACC", "F1", "Sens", "Spec", "UAR"}
+
+    # detail-wer
+    main(["detail-wer", "--pkl", str(tmp_path / "results" / "cli_test.pkl"),
+          "-t", "2", "--out_dir", str(tmp_path / "wer")])
+    rep = json.loads(capsys.readouterr().out)
+    assert "overall" in rep and "AD" in rep
+    assert (tmp_path / "wer" / "overall.txt").exists()
+
+    # feat-scoring
+    main(["feat-scoring", "--pkl", str(tmp_path / "results" / "cli_test.pkl"),
+          "--out_dir", str(tmp_path / "fsm_info")])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mex_rate" in stats
+    assert (tmp_path / "fsm_info" / "node_stats.npz").exists()
+
+
+def test_cli_federated_smoke(data_dir, tmp_path, capsys):
+    main(["federated", "-fl_st", "3", "--epochs", "1", "--num_users", "2",
+          "--local_ep", "1", "--global_ep", "1",
+          "-model_out", str(tmp_path / "flmodel"), "-log", "fl_test.txt",
+          *_common(data_dir, tmp_path)])
+    out = capsys.readouterr().out
+    assert "eval_wer" in out
