@@ -1,0 +1,30 @@
+from .session import SessionUtterance, assemble_sessions, parse_path
+from .prompts import (
+    PSYCHOLOGY_TEMPLATE,
+    SENSITIVE_REPLACE_DICT,
+    apply_sensitive_replacements,
+    assessment_prompt,
+    load_sensitive_dict,
+    summary_prompt,
+)
+from .bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
+from .classifier import TextClassifier, TextClassifierConfig, TextTrainer
+
+__all__ = [
+    "SessionUtterance",
+    "assemble_sessions",
+    "parse_path",
+    "PSYCHOLOGY_TEMPLATE",
+    "SENSITIVE_REPLACE_DICT",
+    "apply_sensitive_replacements",
+    "assessment_prompt",
+    "load_sensitive_dict",
+    "summary_prompt",
+    "BertConfigT",
+    "BertEncoder",
+    "WordPieceTokenizer",
+    "port_hf_bert",
+    "TextClassifier",
+    "TextClassifierConfig",
+    "TextTrainer",
+]

@@ -1,0 +1,179 @@
+"""Text-branch tests: session assembly, prompts/privacy, BERT parity vs HF
+torch, WordPiece vs HF tokenizer, classifier fit, summarization pipeline."""
+
+import numpy as np
+import pytest
+
+from privacy_preserve_federated_asr_tpu.text import (
+    BertConfigT,
+    BertEncoder,
+    TextClassifier,
+    TextClassifierConfig,
+    TextTrainer,
+    WordPieceTokenizer,
+    apply_sensitive_replacements,
+    assemble_sessions,
+    assessment_prompt,
+    parse_path,
+    port_hf_bert,
+    summary_prompt,
+)
+from privacy_preserve_federated_asr_tpu.text.classifier import TextTrainerConfig
+from privacy_preserve_federated_asr_tpu.text.summarize import (
+    RAGSummarizer,
+    SessionSummarizer,
+    cosine_topk,
+)
+
+
+def test_parse_path_and_assemble_sessions():
+    assert parse_path("S001_PAR_12_3400_5600.wav") == ("S001", "PAR", 12, 3400, 5600)
+    assert parse_path("S002_INV_1.wav") == ("S002", "INV", 1, 0, 0)
+    rows = [
+        {"path": "S001_PAR_2_200_300.wav", "text": "second thing"},
+        {"path": "S001_INV_1_0_100.wav", "text": "what do you see"},
+        {"path": "S001_PAR_3_400_500.wav", "text": ""},
+        {"path": "S002_PAR_1_0_50.wav", "text": "other session"},
+    ]
+    docs = assemble_sessions(rows)
+    assert docs["S001"] == "INV: what do you see\nPAR: second thing"
+    assert docs["S002"] == "PAR: other session"
+    par_only = assemble_sessions(rows, roles=("PAR",), include_role_tag=False)
+    assert par_only["S001"] == "second thing"
+
+
+def test_sensitive_replacement_and_prompts(tmp_path):
+    table = {"S001": {"MY NAME IS JOHN": "MY NAME IS [NAME]"}}
+    out = apply_sensitive_replacements("S001", "PAR: MY NAME IS JOHN OK", table)
+    assert out == "PAR: MY NAME IS [NAME] OK"
+    # unknown session: unchanged
+    assert apply_sensitive_replacements("S999", "TEXT", table) == "TEXT"
+
+    p = summary_prompt("INV: hi\nPAR: the boy is stealing cookies")
+    assert "anomia" in p and "PAR: the boy" in p
+    assert "present" in assessment_prompt("PAR: text").lower()
+
+    import json
+    from privacy_preserve_federated_asr_tpu.text.prompts import load_sensitive_dict
+
+    f = tmp_path / "sens.json"
+    f.write_text(json.dumps(table))
+    loaded = load_sensitive_dict(str(f))
+    assert loaded["S001"]
+
+
+def test_bert_parity_vs_hf_torch():
+    import torch
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfigT.tiny_for_tests()
+    hf_cfg = BertConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        max_position_embeddings=cfg.max_position_embeddings,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg)
+    hf.eval()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), dtype=np.int32)
+    mask[1, 8:] = 0
+    with torch.no_grad():
+        out = hf(torch.tensor(ids.astype(np.int64)),
+                 attention_mask=torch.tensor(mask.astype(np.int64)))
+
+    params = port_hf_bert(hf.state_dict(), cfg)
+    enc = BertEncoder(cfg)
+    hidden, pooled = enc.apply({"params": params}, ids, mask)
+    # compare valid positions
+    np.testing.assert_allclose(np.asarray(hidden)[0],
+                               out.last_hidden_state[0].numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hidden)[1, :8],
+                               out.last_hidden_state[1, :8].numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               out.pooler_output.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_wordpiece_matches_hf(tmp_path):
+    from transformers import BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "boy", "is", "steal",
+             "##ing", "cook", "##ies", "a", "b", "##c"]
+    f = tmp_path / "vocab.txt"
+    f.write_text("\n".join(vocab) + "\n")
+    hf = BertTokenizer(str(f), do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(str(f))
+    for text in ["the boy is stealing cookies", "abc the zzz", "A BOY"]:
+        theirs = hf(text).input_ids
+        got, mask = ours.encode(text)
+        assert got == theirs, text
+        assert mask == [1] * len(got)
+
+
+def test_text_classifier_learns_and_regression():
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(-1, 0.3, size=(40, 16)).astype(np.float32)
+    x1 = rng.normal(1, 0.3, size=(40, 16)).astype(np.float32)
+    x = np.concatenate([x0, x1])
+    y = np.concatenate([np.zeros(40), np.ones(40)]).astype(np.int32)
+
+    cfg = TextClassifierConfig(embed_dim=16, hidden_dim=16)
+    tr = TextTrainer(cfg, TextTrainerConfig(num_epochs=20, batch_size=8,
+                                            learning_rate=1e-2))
+    result = tr.fit(x, y, x, y)
+    assert tr.evaluate(x, y)["acc"] > 0.9
+
+    # MMSE regression twin
+    reg = TextTrainer(cfg.replace(regression=True),
+                      TextTrainerConfig(num_epochs=30, batch_size=8,
+                                        learning_rate=1e-2))
+    y_mmse = x[:, 0].astype(np.float32) * 3 + 20
+    reg.fit(x, y_mmse, x, y_mmse)
+    assert reg.evaluate(x, y_mmse)["mse"] < 5.0
+
+
+def test_multi_input_fusion_shapes():
+    import jax
+
+    for fusion in ("concat", "attention"):
+        cfg = TextClassifierConfig(embed_dim=8, hidden_dim=8, num_inputs=3,
+                                   fusion=fusion)
+        m = TextClassifier(cfg)
+        x = np.zeros((4, 3, 8), dtype=np.float32)
+        params = m.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)}, x)["params"]
+        out = m.apply({"params": params}, x)
+        assert out.shape == (4, 2)
+
+
+def test_summarizers():
+    doc = ("INV: what is happening\n"
+           "PAR: the boy is on the stool stealing cookies from the jar\n"
+           "PAR: water is overflowing in the sink")
+    s = SessionSummarizer()  # offline extractive fallback
+    out = s.summarize("S001", doc)
+    assert "cookies" in out
+
+    calls = []
+    def fake_llm(prompt):
+        calls.append(prompt)
+        return "The participant shows mild word-finding difficulty."
+    s2 = SessionSummarizer(llm_fn=fake_llm,
+                           sensitive_table={"S001": {"cookies": "[FOOD]"}})
+    out2 = s2.summarize("S001", doc)
+    assert out2.startswith("The participant")
+    assert "[FOOD]" in calls[0] and "cookies" not in calls[0]  # privacy applied
+
+    # RAG retrieval
+    def embed(texts):
+        return np.asarray([[len(t), t.count("a"), 1.0] for t in texts], dtype=np.float32)
+    rag = RAGSummarizer(llm_fn=fake_llm, embed_fn=embed,
+                        corpus_texts=["aaa", "bbbbbbbb"], corpus_summaries=["s1", "s2"],
+                        k=1)
+    rag.summarize("S009", "aa a")
+    assert "s1" in calls[-1] or "s2" in calls[-1]
+    assert cosine_topk(np.array([1.0, 0.0]), np.array([[1.0, 0.0], [0.0, 1.0]]), 1) == [0]
