@@ -29,6 +29,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the remote-compile path costs minutes per
+    # new program; repeat bench runs hit this cache
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
     from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer

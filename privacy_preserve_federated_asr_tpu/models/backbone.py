@@ -283,6 +283,29 @@ class Encoder(nn.Module):
         return x
 
 
+def sample_span_mask(
+    rng: jax.Array,
+    shape: tuple[int, int],
+    mask_prob: float,
+    mask_length: int,
+    valid_mask: jax.Array | None = None,
+) -> jax.Array:
+    """jit-friendly SpecAugment span sampling: Bernoulli span *starts* with
+    rate ``mask_prob / mask_length`` (expected coverage = mask_prob),
+    dilated to ``mask_length`` via a max window. Static shapes throughout
+    (HF's numpy ``_compute_mask_indices`` is host-side and shape-dynamic)."""
+    b, t = shape
+    starts = jax.random.bernoulli(rng, mask_prob / mask_length, (b, t))
+    if valid_mask is not None:
+        starts = starts & valid_mask.astype(bool)
+    spans = jax.lax.reduce_window(
+        starts.astype(jnp.int32), 0, jax.lax.max,
+        window_dimensions=(1, mask_length), window_strides=(1, 1),
+        padding=((0, 0), (mask_length - 1, 0)),
+    )
+    return spans.astype(bool)
+
+
 class SSLBackbone(nn.Module):
     """Full SSL speech encoder: waveform [B, T] -> embeddings [B, T', D].
 
@@ -301,13 +324,40 @@ class SSLBackbone(nn.Module):
         frame_mask: jax.Array | None = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        feats = FeatureEncoder(self.cfg, self.dtype, name="feature_extractor")(input_values)
-        x = FeatureProjection(self.cfg, self.dtype, name="feature_projection")(
+        cfg = self.cfg
+        feats = FeatureEncoder(cfg, self.dtype, name="feature_extractor")(input_values)
+        x = FeatureProjection(cfg, self.dtype, name="feature_projection")(
             feats, deterministic
         )
-        return Encoder(self.cfg, self.dtype, self.remat, name="encoder")(
+        if cfg.mask_time_prob > 0:
+            # created in both modes so init-at-eval and train share params
+            masked_embed = self.param(
+                "masked_spec_embed", nn.initializers.uniform(scale=1.0),
+                (cfg.hidden_size,))
+        else:
+            masked_embed = None
+        if not deterministic and (cfg.mask_time_prob > 0 or cfg.mask_feature_prob > 0):
+            x = self._spec_augment(x, frame_mask, masked_embed)
+        return Encoder(cfg, self.dtype, self.remat, name="encoder")(
             x, frame_mask, deterministic
         )
+
+    def _spec_augment(self, x: jax.Array, frame_mask: jax.Array | None,
+                      masked_embed: jax.Array | None) -> jax.Array:
+        """SpecAugment (HF _mask_hidden_states equivalent): masked time spans
+        are replaced by a learned embedding; masked feature spans are zeroed."""
+        cfg = self.cfg
+        b, t, d = x.shape
+        if cfg.mask_time_prob > 0:
+            tm = sample_span_mask(self.make_rng("dropout"), (b, t),
+                                  cfg.mask_time_prob, cfg.mask_time_length,
+                                  frame_mask)
+            x = jnp.where(tm[:, :, None], masked_embed.astype(x.dtype)[None, None], x)
+        if cfg.mask_feature_prob > 0:
+            fm = sample_span_mask(self.make_rng("dropout"), (b, d),
+                                  cfg.mask_feature_prob, cfg.mask_feature_length)
+            x = jnp.where(fm[:, None, :], jnp.zeros((), x.dtype), x)
+        return x
 
     def frame_mask_from_lengths(self, input_lengths: jax.Array, num_frames: int) -> jax.Array:
         frame_lengths = feat_extract_output_lengths(self.cfg, input_lengths)

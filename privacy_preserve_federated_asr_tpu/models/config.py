@@ -44,6 +44,13 @@ class BackboneConfig:
 
     do_stable_layer_norm: bool = False
 
+    # SpecAugment (the reference trains with mask_time_prob=0 —
+    # trainer_data2vec_2st.py:604-607 — but the knob is part of the surface)
+    mask_time_prob: float = 0.0
+    mask_time_length: int = 10
+    mask_feature_prob: float = 0.0
+    mask_feature_length: int = 10
+
     # dropouts
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
