@@ -35,6 +35,7 @@ BACKBONES = {
     "wav2vec2": "wav2vec2_large_960h_lv60",
     "wav2vec2-base": "wav2vec2_base_960h",
     "hubert": "hubert_large_ls960",
+    "sewd": "sew_d_mid",
     "unispeech": "unispeech_sat_large",
     "tiny": "tiny_for_tests",  # smoke tests
 }

@@ -59,6 +59,71 @@ def aggressive_passive_masking(scores, mask_ori, ratio: float, aggressive: bool)
     return jnp.where(turn_on, 1.0, mask_ori)
 
 
+def forced_toggle_extract(
+    cfg,
+    params,
+    examples,
+    tokenizer,
+    mode: str,                      # "off_groups" | "aggressive" | "passive"
+    batch_size: int = 16,
+    time_multiple: int = 16000,
+    num_per_group: int = 32,
+    num_off: int = 0,
+    ratio: float = 0.0,
+    seed: int = 0,
+):
+    """Run extraction with the lm mask replaced by a forced-toggle variant
+    (reference: eval_toggle_more.py's experiments re-decoding with modified
+    masks). Propensity scores y0 - y1 come from the arbitrator's lm pair.
+
+    Returns (rows, wer) where rows carry the modified-mask transcripts.
+    """
+    import jax
+
+    from ..data.collate import LengthBucketBatcher
+    from ..models.dacs import DACSModel
+    from ..ops.decode import greedy_ids
+    from ..train.metrics import wer as corpus_wer
+    from ..train.steps import DeviceBatch
+
+    model = DACSModel(cfg)
+
+    @jax.jit
+    def forward(p, batch: DeviceBatch):
+        rngs = {"gumbel": jax.random.PRNGKey(seed)}
+        out = model.apply({"params": p}, batch.input_values, batch.input_lengths,
+                          deterministic=True, rngs=rngs)
+        scores = out.lm_score[..., 0] - out.lm_score[..., 1]  # y0 - y1
+        if mode == "off_groups":
+            forced = mask_off_n_groups(scores, num_per_group, num_off)
+        elif mode == "aggressive":
+            forced = aggressive_passive_masking(scores, out.lm_mask, ratio, True)
+        elif mode == "passive":
+            forced = aggressive_passive_masking(scores, out.lm_mask, ratio, False)
+        else:
+            raise ValueError(mode)
+        out2 = model.apply({"params": p}, batch.input_values, batch.input_lengths,
+                           deterministic=True, rngs=rngs,
+                           mask_override=(forced.astype(out.lm_mask.dtype), None))
+        pred = greedy_ids(out2.logits, out2.frame_mask, cfg.backbone.pad_token_id)
+        return pred, forced, out2.frame_lengths
+
+    batcher = LengthBucketBatcher(examples, batch_size, time_multiple=time_multiple)
+    by_path = {e.path: e for e in examples}
+    rows, refs, hyps = [], [], []
+    for b in batcher.epoch(epoch_seed=0):
+        pred, forced, flen = jax.device_get(forward(params, DeviceBatch.from_host(b)))
+        for i, path in enumerate(b.paths):
+            text = by_path[path].text
+            hyp = tokenizer.decode(pred[i])
+            rows.append({"path": path, "text": text, "pred_str": hyp,
+                         "forced_on_rate": float(forced[i, : int(flen[i])].mean())})
+            if text:
+                refs.append(text)
+                hyps.append(hyp)
+    return rows, (corpus_wer(refs, hyps) if refs else None)
+
+
 def reference_mask_off_n_groups(scores: np.ndarray, num_per_group: int,
                                 num_off: int) -> np.ndarray:
     """Direct loop transcription of the reference semantics (test oracle)."""

@@ -71,6 +71,10 @@ class FederatedConfig:
     log_dir: str = "./saves/log"
     fedavg_weighted: bool = False   # reference uses an unweighted mean
     mesh: Any = None                # jax.sharding.Mesh with a "client" axis
+    # 1 = supervised only; 0.5 = unsupervised (pseudo-labeled) phase then
+    # supervised phase per round; 0 = unsupervised only
+    # (reference: options.py --supervised_level, update.py update_weights)
+    supervised_level: float = 1.0
 
 
 class FederatedEngine:
@@ -83,11 +87,15 @@ class FederatedEngine:
         eval_examples: Sequence[AsrExample] | None,
         tokenizer: CTCCharTokenizer,
         params: Any,
+        client_unsup_examples: dict[Any, Sequence[AsrExample]] | None = None,
     ):
         self.cfg = cfg
         self.fcfg = fcfg
         self.client_ids = sorted(client_examples.keys(), key=str)
         self.client_examples = client_examples
+        # pseudo-labeled (teacher-transcribed) per-client data for the
+        # unsupervised phase (reference: ADReSSo + Whisper transcripts)
+        self.client_unsup_examples = client_unsup_examples or {}
         self.public_examples = public_examples
         self.eval_examples = eval_examples
         self.tokenizer = tokenizer
@@ -99,7 +107,8 @@ class FederatedEngine:
     # data: per-client step streams with uniform static shapes
     # ------------------------------------------------------------------
 
-    def _client_round_batches(self, cids, round_idx: int) -> DeviceBatch:
+    def _client_round_batches(self, cids, round_idx: int,
+                              source: dict | None = None) -> DeviceBatch:
         """Build [K, steps, B, ...] stacked batches for one round.
 
         All sampled clients are padded to the same step count and the same
@@ -107,11 +116,12 @@ class FederatedEngine:
         batches carry sample_mask=0 (zero loss, zero grads).
         """
         f = self.fcfg
+        source = self.client_examples if source is None else source
         per_client: list[list] = []
         t_max = l_max = 0
         for cid in cids:
             batcher = LengthBucketBatcher(
-                self.client_examples[cid], f.batch_size,
+                source[cid], f.batch_size,
                 time_multiple=f.time_multiple, label_multiple=f.label_multiple,
                 seed=f.seed + round_idx, max_samples=f.max_samples)
             batches = []
@@ -142,39 +152,51 @@ class FederatedEngine:
     # the jitted round
     # ------------------------------------------------------------------
 
-    def _get_round_fn(self, stage: int, num_steps: int):
-        key = (stage, num_steps)
+    def _get_round_fn(self, stage: int, phase_steps: tuple[int, ...]):
+        """One jitted FL round over 1-2 local phases (unsupervised then
+        supervised, per supervised_level); each phase gets a fresh optimizer
+        like the reference's per-phase Trainer instances."""
+        key = (stage, phase_steps)
         if key in self._round_fns:
             return self._round_fns[key]
         f = self.fcfg
         cfg = self.cfg.replace(stage=stage)
         model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
-        tx = make_optimizer(
-            jax.eval_shape(lambda: self.global_params),
-            stage=stage, learning_rate=f.learning_rate,
-            weight_decay=f.weight_decay, warmup_steps=f.warmup_steps,
-            total_steps=max(num_steps, 1),
-        )
-        train_step = make_train_step(model, tx, cfg)
         network = STAGE_NETWORK[stage]
 
-        def local_train(params, batches, rng):
-            state = DACSTrainState(
-                step=jnp.zeros((), jnp.int32), params=params,
-                opt_state=tx.init(params), rng=rng)
+        txs = [
+            make_optimizer(
+                jax.eval_shape(lambda: self.global_params),
+                stage=stage, learning_rate=f.learning_rate,
+                weight_decay=f.weight_decay, warmup_steps=f.warmup_steps,
+                total_steps=max(steps, 1),
+            )
+            for steps in phase_steps
+        ]
+        steps_fns = [make_train_step(model, tx, cfg) for tx in txs]
 
-            def body(st, batch):
-                st, metrics = train_step(st, batch)
-                return st, metrics["loss"]
+        def local_train(params, phase_batches, rng):
+            losses = []
+            for tx, train_step, batches in zip(txs, steps_fns, phase_batches):
+                rng, sub = jax.random.split(rng)
+                state = DACSTrainState(
+                    step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=tx.init(params), rng=sub)
 
-            state, losses = jax.lax.scan(body, state, batches)
-            return state.params, losses
+                def body(st, batch, _step=train_step):
+                    st, metrics = _step(st, batch)
+                    return st, metrics["loss"]
 
-        def round_fn(global_params, stacked_batches, rngs, sample_counts):
+                state, phase_losses = jax.lax.scan(body, state, batches)
+                params = state.params
+                losses.append(phase_losses)
+            return params, jnp.concatenate(losses)
+
+        def round_fn(global_params, stacked_phases, rngs, sample_counts):
             k = rngs.shape[0]
             stacked = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), global_params)
-            new_params, losses = jax.vmap(local_train)(stacked, stacked_batches, rngs)
+            new_params, losses = jax.vmap(local_train)(stacked, stacked_phases, rngs)
             weights = sample_counts if f.fedavg_weighted else None
             avg = fedavg_stacked(new_params, weights)
             new_global = graft_network(global_params, avg, network)
@@ -209,16 +231,23 @@ class FederatedEngine:
         rng = np.random.default_rng(f.seed)
         k_total = len(self.client_ids)
         m = max(int(f.frac * k_total), 1)
+        sl = f.supervised_level
         for rnd in range(num_rounds):
             cids = [self.client_ids[i]
                     for i in rng.choice(k_total, size=m, replace=False)]
-            batches = self._client_round_batches(cids, rnd)
-            steps = batches.input_values.shape[1]
+            phases = []
+            if sl < 1.0:  # unsupervised (pseudo-labeled) phase first
+                phases.append(self._client_round_batches(
+                    cids, rnd, source=self.client_unsup_examples))
+            if sl > 0.0:  # supervised phase
+                phases.append(self._client_round_batches(cids, rnd))
+            phases = tuple(phases)
+            steps = tuple(p.input_values.shape[1] for p in phases)
             round_fn = self._get_round_fn(stage, steps)
             rngs = jax.random.split(jax.random.PRNGKey(f.seed + 7919 * rnd), m)
             counts = jnp.asarray(
                 [len(self.client_examples[c]) for c in cids], dtype=jnp.float32)
-            placed = self._place_round_inputs(self.global_params, batches, rngs, counts)
+            placed = self._place_round_inputs(self.global_params, phases, rngs, counts)
             self.global_params, losses = round_fn(*placed)
             self.logger.log({
                 "fl_round": rnd + 1, "stage": stage,

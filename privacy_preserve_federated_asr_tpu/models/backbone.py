@@ -34,7 +34,9 @@ from .config import BackboneConfig
 ACT2FN: dict[str, Callable] = {
     "gelu": lambda x: jax.nn.gelu(x, approximate=False),
     "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_python": lambda x: jax.nn.gelu(x, approximate=False),
     "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
 }
 
 
@@ -243,10 +245,28 @@ class EncoderLayer(nn.Module):
         return ln2(x).astype(self.dtype)
 
 
+class _ScanBody(nn.Module):
+    """nn.scan adapter: EncoderLayer as a (carry, ()) step function."""
+
+    cfg: BackboneConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, carry, attention_bias, deterministic: bool = True):
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+        out = layer_cls(self.cfg, self.dtype, name="layer")(
+            carry, attention_bias, deterministic)
+        return out, ()
+
+
 class Encoder(nn.Module):
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -270,13 +290,27 @@ class Encoder(nn.Module):
             x = x.astype(self.dtype)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
-        layer_cls = EncoderLayer
-        if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
-        for i in range(cfg.num_hidden_layers):
-            x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(
+        if self.scan_layers:
+            # one compiled layer scanned over stacked params: identical math,
+            # ~num_layers x smaller XLA program (compile-time win on TPU)
+            scan = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=cfg.num_hidden_layers,
+            )
+            x, _ = scan(cfg, self.dtype, self.remat, name="layers_scan")(
                 x, attention_bias, deterministic
             )
+        else:
+            layer_cls = EncoderLayer
+            if self.remat:
+                layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            for i in range(cfg.num_hidden_layers):
+                x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(
+                    x, attention_bias, deterministic
+                )
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
             x = x.astype(self.dtype)
@@ -316,6 +350,7 @@ class SSLBackbone(nn.Module):
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -338,7 +373,7 @@ class SSLBackbone(nn.Module):
             masked_embed = None
         if not deterministic and (cfg.mask_time_prob > 0 or cfg.mask_feature_prob > 0):
             x = self._spec_augment(x, frame_mask, masked_embed)
-        return Encoder(cfg, self.dtype, self.remat, name="encoder")(
+        return Encoder(cfg, self.dtype, self.remat, self.scan_layers, name="encoder")(
             x, frame_mask, deterministic
         )
 

@@ -44,6 +44,15 @@ class BackboneConfig:
 
     do_stable_layer_norm: bool = False
 
+    # SEW-D extras (squeezed encoder + DeBERTa-v2 disentangled attention)
+    squeeze_factor: int = 1
+    position_buckets: int = -1
+    relative_attention: bool = False
+    pos_att_type: tuple[str, ...] = ()
+    norm_rel_ebd: str = "none"
+    max_position_embeddings: int = 512
+    feature_layer_norm_eps: float = 1e-5
+
     # SpecAugment (the reference trains with mask_time_prob=0 —
     # trainer_data2vec_2st.py:604-607 — but the knob is part of the surface)
     mask_time_prob: float = 0.0
@@ -102,6 +111,24 @@ class BackboneConfig:
         return cls(model_type="hubert", conv_bias=True, feat_extract_norm="layer",
                    pos_conv_type="single", num_conv_pos_embeddings=128,
                    do_stable_layer_norm=True)
+
+    @classmethod
+    def sew_d_mid(cls) -> "BackboneConfig":
+        """asapp/sew-d-mid-* family (HF SEWDConfig defaults)."""
+        return cls(
+            model_type="sew-d", hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            conv_dim=(64, 128, 128, 128, 128, 256, 256, 256, 256, 512, 512, 512, 512),
+            conv_kernel=(10, 3, 1, 3, 1, 3, 1, 3, 1, 2, 1, 2, 1),
+            conv_stride=(5, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1),
+            conv_bias=False, feat_extract_norm="group",
+            pos_conv_type="single", num_conv_pos_embeddings=128,
+            num_conv_pos_embedding_groups=16,
+            squeeze_factor=2, position_buckets=256, relative_attention=True,
+            pos_att_type=("p2c", "c2p"), norm_rel_ebd="layer_norm",
+            max_position_embeddings=512, layer_norm_eps=1e-7,
+            feature_layer_norm_eps=1e-5, hidden_act="gelu_python",
+        )
 
     @classmethod
     def unispeech_sat_large(cls) -> "BackboneConfig":

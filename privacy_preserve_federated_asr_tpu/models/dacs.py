@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.gumbel import gumbel_softmax
-from .backbone import SSLBackbone, feat_extract_output_lengths
+from .backbone import feat_extract_output_lengths
 from .config import DACSConfig
+from .factory import make_backbone
 
 
 @flax.struct.dataclass
@@ -57,10 +58,12 @@ class DACSModel(nn.Module):
     cfg: DACSConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     def setup(self):
         c = self.cfg
-        self.backbone = SSLBackbone(c.backbone, self.dtype, self.remat, name="backbone")
+        self.backbone = make_backbone(c.backbone, self.dtype, self.remat,
+                                      self.scan_layers, name="backbone")
         self.dropout = nn.Dropout(c.backbone.final_dropout)
         self.arbitrator = nn.Dense(c.hidden_size * 4, dtype=self.dtype, name="arbitrator")
         self.lm_head = nn.Dense(c.backbone.vocab_size, dtype=self.dtype, name="lm_head")
@@ -82,6 +85,7 @@ class DACSModel(nn.Module):
         deterministic: bool = True,
         backbone_deterministic: bool | None = None,
         gumbel_noise: tuple[jax.Array, jax.Array] | None = None,
+        mask_override: tuple[jax.Array | None, jax.Array | None] | None = None,
     ) -> DACSOutputs:
         """Forward pass.
 
@@ -124,6 +128,12 @@ class DACSModel(nn.Module):
             lm_noise = ad_noise = None
         lm_mask = gumbel_softmax(r1, lm_score, tau=c.gs_tau, hard=True, noise=lm_noise)[..., 0]
         ad_mask = gumbel_softmax(r2, ad_score, tau=c.gs_tau, hard=True, noise=ad_noise)[..., 0]
+        if mask_override is not None:
+            # forced-toggle experiments (evaluation/forced_toggle.py) replace
+            # one or both Gumbel masks with externally constructed ones
+            lm_over, ad_over = mask_override
+            lm_mask = lm_mask if lm_over is None else lm_over
+            ad_mask = ad_mask if ad_over is None else ad_over
         lm_mask = lm_mask.astype(self.dtype)
         ad_mask = ad_mask.astype(self.dtype)
 

@@ -59,68 +59,83 @@ def dacs_loss(
     cfg: DACSConfig,
     similar_fc_kernel: jax.Array,   # [D, 2] flax layout of criterion_similar.fc
     sample_mask: jax.Array | None = None,  # [B] 1/0 real-vs-pad rows
+    aux_metrics: bool = True,
 ) -> tuple[jax.Array, dict[str, Any]]:
-    """Returns (stage-routed final loss, metrics dict)."""
+    """Returns (stage-routed final loss, metrics dict).
+
+    ``aux_metrics=False`` computes only the terms the stage's final loss
+    consumes — XLA then dead-code-eliminates the unused logit streams and
+    their backward, which is a real throughput win (the reference's
+    monolithic forward always computes every branch; gradients of the
+    *trained* parameters are identical either way). Skipped metric entries
+    are reported as 0.
+    """
     bcfg = cfg.backbone
     lam = cfg.lambda_grl
     pool = cfg.pool_valid_frames_only
     frame_lengths = outputs.frame_lengths
     reduction = bcfg.ctc_loss_reduction
+    stage = cfg.stage
+    zero = jnp.zeros((), jnp.float32)
 
-    def _ctc(log_probs):
+    def _ctc(logits, reverse=False):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if reverse:
+            lp = gradient_reversal(lp, lam)  # ASR-GRL (reference :501-502)
         return ctc_loss(
-            log_probs, labels, frame_lengths, label_lengths,
+            lp, labels, frame_lengths, label_lengths,
             blank_id=bcfg.pad_token_id, reduction=reduction,
             zero_infinity=bcfg.ctc_zero_infinity,
         )
 
-    lp_unmask = jax.nn.log_softmax(outputs.logits_unmask.astype(jnp.float32), axis=-1)
-    lp_masked = jax.nn.log_softmax(outputs.logits.astype(jnp.float32), axis=-1)
-    lp_r = jax.nn.log_softmax(outputs.logits_r.astype(jnp.float32), axis=-1)
-    lp_r = gradient_reversal(lp_r, lam)  # ASR-GRL (reference :501-502)
-
-    loss_unmask = _ctc(lp_unmask)
-    loss_masked = _ctc(lp_masked)
-    loss_r = _ctc(lp_r)
-
-    # time-pooled AD logits
     fm = outputs.frame_mask
-    ad_mean_unmask = masked_time_mean(
-        outputs.dementia_logits_unmask.astype(jnp.float32), fm, pool)
-    ad_mean_lm = masked_time_mean(outputs.dementia_logits_lm.astype(jnp.float32), fm, pool)
-    ad_mean_lm_rev = gradient_reversal(ad_mean_lm, lam)  # AD-GRL (reference :471-472)
-    ad_mean_ad = masked_time_mean(outputs.dementia_logits_ad.astype(jnp.float32), fm, pool)
-
     w = _ad_weight(cfg)
     kind = cfg.ad_loss
-    ad_loss_unmask = recall_family_loss(ad_mean_unmask, dementia_labels, kind, w, sample_mask)
-    ad_loss_rev = recall_family_loss(ad_mean_lm_rev, dementia_labels, kind, w, sample_mask)
-    ad_loss = recall_family_loss(ad_mean_ad, dementia_labels, kind, w, sample_mask)
 
-    # diversity (AM-softmax) over stacked masked frame embeddings
-    # (reference :592-607: rows = B*T frames of each stream, labels 0/1)
-    h = outputs.hidden_states.astype(jnp.float32)
-    lm_rows = (outputs.lm_mask.astype(jnp.float32) * h).reshape(-1, h.shape[-1])
-    ad_rows = (outputs.ad_mask.astype(jnp.float32) * h).reshape(-1, h.shape[-1])
-    rows = jnp.concatenate([lm_rows, ad_rows], axis=0)
-    am_labels = jnp.concatenate([
-        jnp.zeros(lm_rows.shape[0], dtype=jnp.int32),
-        jnp.ones(ad_rows.shape[0], dtype=jnp.int32),
-    ])
-    row_w = None
-    if pool:
-        fw = fm.astype(jnp.float32).reshape(-1)
-        row_w = jnp.concatenate([fw, fw])
-    score_loss, _ = am_softmax_loss(
-        rows, am_labels, similar_fc_kernel.T, loss_type=cfg.am_loss_type,
-        sample_weight=row_w,
-    )
+    def _ad(logits, reverse=False):
+        mean = masked_time_mean(logits.astype(jnp.float32), fm, pool)
+        if reverse:
+            mean = gradient_reversal(mean, lam)  # AD-GRL (reference :471-472)
+        return recall_family_loss(mean, dementia_labels, kind, w, sample_mask)
 
-    if cfg.stage == 0:
+    need_unmask = aux_metrics or stage == 0
+    need_masked = aux_metrics or stage == 2
+    need_ad_unmask = aux_metrics or stage == 1
+
+    loss_unmask = _ctc(outputs.logits_unmask) if need_unmask else zero
+    loss_masked = _ctc(outputs.logits) if need_masked else zero
+    loss_r = _ctc(outputs.logits_r, reverse=True) if need_masked else zero
+    ad_loss_unmask = _ad(outputs.dementia_logits_unmask) if need_ad_unmask else zero
+    ad_loss_rev = _ad(outputs.dementia_logits_lm, reverse=True) if need_masked else zero
+    ad_loss = _ad(outputs.dementia_logits_ad) if need_masked else zero
+
+    if need_masked:
+        # diversity (AM-softmax) over stacked masked frame embeddings
+        # (reference :592-607: rows = B*T frames of each stream, labels 0/1)
+        h = outputs.hidden_states.astype(jnp.float32)
+        lm_rows = (outputs.lm_mask.astype(jnp.float32) * h).reshape(-1, h.shape[-1])
+        ad_rows = (outputs.ad_mask.astype(jnp.float32) * h).reshape(-1, h.shape[-1])
+        rows = jnp.concatenate([lm_rows, ad_rows], axis=0)
+        am_labels = jnp.concatenate([
+            jnp.zeros(lm_rows.shape[0], dtype=jnp.int32),
+            jnp.ones(ad_rows.shape[0], dtype=jnp.int32),
+        ])
+        row_w = None
+        if pool:
+            fw = fm.astype(jnp.float32).reshape(-1)
+            row_w = jnp.concatenate([fw, fw])
+        score_loss, _ = am_softmax_loss(
+            rows, am_labels, similar_fc_kernel.T, loss_type=cfg.am_loss_type,
+            sample_weight=row_w,
+        )
+    else:
+        score_loss = zero
+
+    if stage == 0:
         final = loss_unmask
-    elif cfg.stage == 1:
+    elif stage == 1:
         final = ad_loss_unmask
-    elif cfg.stage == 2:
+    elif stage == 2:
         final = loss_masked + ad_loss_rev + loss_r + ad_loss + score_loss
     else:
         raise ValueError(f"unknown stage {cfg.stage}")

@@ -144,6 +144,35 @@ def port_hf_state_dict(
     return params
 
 
+def stack_scan_layers(backbone_params: dict, num_layers: int) -> dict:
+    """Convert per-layer encoder params (``layers_{i}``) into the stacked
+    layout used by ``scan_layers=True`` (``layers_scan/layer`` with a
+    leading layer axis). Same math, one compiled layer."""
+    import jax
+
+    enc = dict(backbone_params["encoder"])
+    layers = [enc.pop(f"layers_{i}") for i in range(num_layers)]
+    enc["layers_scan"] = {"layer": jax.tree.map(
+        lambda *xs: np.stack(xs), *layers)}
+    out = dict(backbone_params)
+    out["encoder"] = enc
+    return out
+
+
+def unstack_scan_layers(backbone_params: dict) -> dict:
+    """Inverse of :func:`stack_scan_layers` (stacked -> per-layer names)."""
+    import jax
+
+    enc = dict(backbone_params["encoder"])
+    stacked = enc.pop("layers_scan")["layer"]
+    num_layers = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(num_layers):
+        enc[f"layers_{i}"] = jax.tree.map(lambda x: np.asarray(x[i]), stacked)
+    out = dict(backbone_params)
+    out["encoder"] = enc
+    return out
+
+
 _HEAD_MAP = {
     # torch attribute -> flax module name (reference federated/src/models.py:292-299)
     "lm_head": "lm_head",

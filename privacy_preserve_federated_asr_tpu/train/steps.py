@@ -17,6 +17,7 @@ from ..models.config import DACSConfig
 from ..models.dacs import DACSModel
 from ..models.objectives import dacs_loss
 from ..ops.decode import ad_vote, greedy_ids
+from .optim import _path_strings, stage_trainable_predicate
 from .train_state import DACSTrainState
 
 
@@ -48,22 +49,41 @@ class DeviceBatch:
 
 
 def make_train_step(
-    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig
+    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
+    aux_metrics: bool = False,
 ) -> Callable[[DACSTrainState, DeviceBatch], tuple[DACSTrainState, dict]]:
-    """Build the pure train step for one optimizer/config pair."""
+    """Build the pure train step for one optimizer/config pair.
+
+    Frozen parameters (per the stage's trainable predicate) are wrapped in
+    ``stop_gradient`` inside the loss so XLA dead-code-eliminates their
+    backward pass entirely — in stages 1/2 that removes the whole encoder
+    backward (the optimizer masking alone would still *compute* those
+    gradients and then zero the updates). ``aux_metrics=False`` likewise
+    prunes loss terms the stage doesn't consume (see dacs_loss).
+    """
+    trainable = stage_trainable_predicate(cfg.stage)
+
+    def _freeze(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x if trainable(_path_strings(p))
+            else jax.lax.stop_gradient(x),
+            params,
+        )
 
     def train_step(state: DACSTrainState, batch: DeviceBatch):
         rngs, new_rng = state.next_rngs()
         backbone_det = cfg.stage != 0  # frozen encoder: dropout off (parity)
 
         def loss_fn(params):
+            params = _freeze(params)
             out = model.apply(
                 {"params": params}, batch.input_values, batch.input_lengths,
                 deterministic=False, backbone_deterministic=backbone_det, rngs=rngs,
             )
             return dacs_loss(out, batch.labels, batch.label_lengths,
                              batch.dementia_labels, cfg,
-                             params["similar_fc"]["kernel"], batch.sample_mask)
+                             params["similar_fc"]["kernel"], batch.sample_mask,
+                             aux_metrics=aux_metrics)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

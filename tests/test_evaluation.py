@@ -171,3 +171,50 @@ def test_aggressive_passive_masking_invariants(aggressive):
     # ratio == 1 shortcuts
     full = np.asarray(aggressive_passive_masking(scores, mask, 1.0, aggressive))
     assert np.all(full == (0.0 if aggressive else 1.0))
+
+
+def test_forced_toggle_extract():
+    from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+    from privacy_preserve_federated_asr_tpu.evaluation.forced_toggle import (
+        forced_toggle_extract)
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+
+    tok = CTCCharTokenizer()
+    cfg = DACSConfig(backbone=BackboneConfig.tiny_for_tests(), stage=2, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    exs = []
+    for i in range(4):
+        arr = rng.normal(0, 1, 3200).astype(np.float32)
+        exs.append(AsrExample(path=f"S{i:03d}_PAR_0.wav", array=arr, text="HI",
+                              dementia_label=0, input_values=arr,
+                              labels=np.asarray(tok.encode("HI"), dtype=np.int32)))
+    rows, w = forced_toggle_extract(cfg, params, exs, tok, mode="off_groups",
+                                    batch_size=2, time_multiple=3200,
+                                    num_per_group=cfg.hidden_size // 4, num_off=4)
+    # all groups off -> lm mask fully zero
+    assert all(r["forced_on_rate"] == 0.0 for r in rows)
+    assert w is not None
+    rows2, _ = forced_toggle_extract(cfg, params, exs, tok, mode="passive",
+                                     batch_size=2, time_multiple=3200, ratio=1.0)
+    assert all(r["forced_on_rate"] == 1.0 for r in rows2)
+
+
+def test_sampling_partitions():
+    from privacy_preserve_federated_asr_tpu.parallel.sampling import (
+        iid_partition, noniid_shard_partition, noniid_unequal_partition)
+
+    p = iid_partition(100, 4, seed=0)
+    all_idx = np.concatenate(list(p.values()))
+    assert len(all_idx) == 100 and len(np.unique(all_idx)) == 100
+
+    labels = np.repeat(np.arange(10), 10)
+    q = noniid_shard_partition(labels, 5, shards_per_client=2, seed=0)
+    # each client sees at most 2 shards -> at most ~2-3 distinct labels
+    for idx in q.values():
+        assert len(np.unique(labels[idx])) <= 4
+    assert len(np.unique(np.concatenate(list(q.values())))) == 100
+
+    u = noniid_unequal_partition(labels, 5, seed=0)
+    total = np.concatenate([v for v in u.values() if len(v)])
+    assert len(np.unique(total)) == len(total)

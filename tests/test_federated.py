@@ -159,8 +159,10 @@ def test_client_parallel_matches_sequential():
 
     client_params = []
     for i in range(2):
+        # the engine splits once per local phase: phase rng = split(rng)[1]
+        phase_rng = jax.random.split(rngs[i])[1]
         state = DACSTrainState(step=jnp.zeros((), jnp.int32), params=params0,
-                               opt_state=tx.init(params0), rng=rngs[i])
+                               opt_state=tx.init(params0), rng=phase_rng)
         cb = jax.tree.map(lambda x: x[i], batches)
         for s in range(steps):
             state, _ = train_step(state, jax.tree.map(lambda x: x[s], cb))
@@ -178,3 +180,30 @@ def test_full_pipeline_smoke():
     final = eng.run_full_pipeline()
     assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(
         jax.tree.map(np.asarray, final)))
+
+
+def test_semi_supervised_round_phases():
+    """supervised_level 0.5: unsupervised (pseudo-labeled) phase then
+    supervised phase in one round, each with a fresh optimizer."""
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, batch_size=2,
+        time_multiple=3200, seed=0, warmup_steps=1, supervised_level=0.5)
+    eng = FederatedEngine(
+        cfg, fcfg, {0: _examples(4, seed=1), 1: _examples(4, seed=2)},
+        _examples(4, seed=3), None, TOK, params,
+        client_unsup_examples={0: _examples(4, seed=4), 1: _examples(2, seed=5)})
+    before = jax.tree.map(np.array, eng.global_params)
+    after = eng.run_rounds(stage=0, num_rounds=1)
+    assert not np.allclose(np.asarray(after["lm_head"]["kernel"]),
+                           before["lm_head"]["kernel"])
+    # fully unsupervised variant runs too
+    fcfg0 = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, batch_size=2,
+        time_multiple=3200, seed=0, warmup_steps=1, supervised_level=0.0)
+    eng0 = FederatedEngine(
+        cfg, fcfg0, {0: _examples(4, seed=1), 1: _examples(4, seed=2)},
+        _examples(4, seed=3), None, TOK, params,
+        client_unsup_examples={0: _examples(4, seed=4), 1: _examples(2, seed=5)})
+    eng0.run_rounds(stage=0, num_rounds=1)

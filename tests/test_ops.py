@@ -217,3 +217,34 @@ def test_ctc_loss_zero_infinity_on_infeasible():
     got_inf = ctc_loss(log_probs, labels, jnp.array([2]), jnp.array([4]),
                        reduction="none", zero_infinity=False)
     assert np.isinf(np.asarray(got_inf)).all()
+
+
+def test_ctc_fast_path_matches_reference_path():
+    """Custom-VJP alpha/beta CTC vs autodiff-through-scan, values + grads,
+    mixed feasible/infeasible batch."""
+    rng = np.random.default_rng(7)
+    bsz, t_max, vocab, l_max = 5, 30, 16, 8
+    logits = jnp.asarray(rng.normal(size=(bsz, t_max, vocab)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, vocab, size=(bsz, l_max)).astype(np.int32))
+    input_lengths = jnp.array([30, 22, 17, 9, 3])   # last: infeasible (2*8+1 > 2*3)
+    label_lengths = jnp.array([8, 5, 1, 4, 8])
+
+    def loss(lg, fast):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return ctc_loss(lp, labels, input_lengths, label_lengths,
+                        reduction="sum", fast=fast)
+
+    v_fast, g_fast = jax.value_and_grad(lambda lg: loss(lg, True))(logits)
+    v_ref, g_ref = jax.value_and_grad(lambda lg: loss(lg, False))(logits)
+    np.testing.assert_allclose(float(v_fast), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    assert np.isfinite(np.asarray(g_fast)).all()
+
+    # 'none' reduction per-sample equality too
+    ln_fast = ctc_loss(jax.nn.log_softmax(logits, -1), labels, input_lengths,
+                       label_lengths, reduction="none", fast=True)
+    ln_ref = ctc_loss(jax.nn.log_softmax(logits, -1), labels, input_lengths,
+                      label_lengths, reduction="none", fast=False)
+    np.testing.assert_allclose(np.asarray(ln_fast), np.asarray(ln_ref), rtol=1e-5)
+    assert float(ln_fast[4]) == 0.0  # infeasible zeroed

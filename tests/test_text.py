@@ -177,3 +177,31 @@ def test_summarizers():
     rag.summarize("S009", "aa a")
     assert "s1" in calls[-1] or "s2" in calls[-1]
     assert cosine_topk(np.array([1.0, 0.0]), np.array([[1.0, 0.0], [0.0, 1.0]]), 1) == [0]
+
+
+def test_session_augmenter():
+    from privacy_preserve_federated_asr_tpu.text.augment import SessionAugmenter
+
+    docs = {"S001": "INV: hi\nPAR: the boy JOHN takes cookies\nPAR: water spills"}
+    labels = {"S001": 1}
+    calls = []
+
+    def llm(prompt):
+        calls.append(prompt)
+        return "INV: hello\nPAR: a boy grabs biscuits\nPAR: the tap overflows"
+
+    aug = SessionAugmenter(llm_fn=llm,
+                           sensitive_table={"S001": {"JOHN": "[NAME]"}})
+    out_docs, out_labels, failures = aug.augment_sessions(docs, labels, k=2)
+    assert set(out_docs) == {"S001_aug0", "S001_aug1"}
+    assert out_labels["S001_aug0"] == 1 and not failures
+    assert "JOHN" not in calls[0] and "[NAME]" in calls[0]
+
+    # offline fallback keeps content label-preserving
+    off_docs, off_labels, _ = SessionAugmenter().augment_sessions(docs, labels, k=1)
+    assert "cookies" in off_docs["S001_aug0"]
+
+    # failing llm is recorded, not raised
+    bad = SessionAugmenter(llm_fn=lambda p: 1 / 0)
+    _, _, fails = bad.augment_sessions(docs, labels, k=1)
+    assert fails == ["S001"]
