@@ -263,6 +263,90 @@ def cmd_svm(args):
     print(json.dumps(m))
 
 
+def cmd_text(args):
+    """Text-branch AD classification over session documents assembled from
+    an extraction pkl (reference 0207_DM_* experiment scripts).
+
+    Embeddings: a ported HF BERT checkpoint (--bert_checkpoint + --vocab),
+    or a hash-based bag-of-words fallback so the pipeline runs standalone.
+    """
+    import numpy as np
+
+    from .text import assemble_sessions
+    from .text.classifier import TextClassifierConfig, TextTrainer, TextTrainerConfig
+
+    def load_rows(pkl):
+        with open(pkl, "rb") as f:
+            df = pickle.load(f)
+        rows = df.to_dict("records")
+        for r in rows:
+            r.setdefault("text", r.get("pred_str"))
+        return rows
+
+    train_rows, test_rows = load_rows(args.train_pkl), load_rows(args.test_pkl)
+    text_key = args.use_text  # 'text' (ground truth) or 'pred_str' (ASR)
+    docs_train = assemble_sessions(train_rows, text_key=text_key)
+    docs_test = assemble_sessions(test_rows, text_key=text_key)
+
+    def labels_of(rows):
+        out = {}
+        for r in rows:
+            out[r["path"].split("_")[0]] = int(r["dementia_labels"])
+        return out
+
+    y_train_map, y_test_map = labels_of(train_rows), labels_of(test_rows)
+
+    if args.bert_checkpoint:
+        import torch
+
+        from .text.bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
+        from .text.classifier import embed_sessions
+
+        sd = torch.load(args.bert_checkpoint, map_location="cpu", weights_only=True)
+        n_layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
+        bcfg = BertConfigT(
+            vocab_size=sd["embeddings.word_embeddings.weight"].shape[0],
+            hidden_size=sd["embeddings.word_embeddings.weight"].shape[1],
+            num_hidden_layers=n_layers,
+            max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0])
+        params = port_hf_bert(sd, bcfg)
+        enc = BertEncoder(bcfg)
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+
+        def embed(texts):
+            return embed_sessions(
+                lambda ids, mask: enc.apply({"params": params}, ids, mask)[1],
+                tok, texts)
+        dim = bcfg.hidden_size
+    else:
+        dim = 256
+
+        def embed(texts):  # hashing bag-of-words fallback
+            out = np.zeros((len(texts), dim), dtype=np.float32)
+            for i, t in enumerate(texts):
+                for w in t.lower().split():
+                    out[i, hash(w) % dim] += 1.0
+                n = np.linalg.norm(out[i])
+                if n > 0:
+                    out[i] /= n
+            return out
+
+    sessions_train = sorted(docs_train)
+    sessions_test = sorted(docs_test)
+    x_train = embed([docs_train[s] for s in sessions_train])
+    x_test = embed([docs_test[s] for s in sessions_test])
+    y_train = np.asarray([y_train_map[s] for s in sessions_train], dtype=np.int32)
+    y_test = np.asarray([y_test_map[s] for s in sessions_test], dtype=np.int32)
+
+    tr = TextTrainer(
+        TextClassifierConfig(embed_dim=x_train.shape[1], hidden_dim=args.hidden_dim),
+        TextTrainerConfig(num_epochs=args.epochs, batch_size=args.train_batch_size,
+                          learning_rate=args.learning_rate or 1e-3,
+                          lr_schedule=args.lr_schedule, seed=args.seed))
+    tr.fit(x_train, y_train, x_test, y_test)
+    print(json.dumps({"test_" + k: v for k, v in tr.evaluate(x_test, y_test).items()}))
+
+
 def cmd_feat_scoring(args):
     from .evaluation import mask_node_statistics, per_utt_on_rates
 
@@ -325,6 +409,20 @@ def main(argv=None):
     p.add_argument("--results_csv", default="./saves/results/SVM/results.csv")
     p.add_argument("--title", default="dacs_tpu")
     p.set_defaults(fn=cmd_svm)
+
+    p = sub.add_parser("text", help="text-branch AD classifier over session docs")
+    p.add_argument("--train_pkl", required=True)
+    p.add_argument("--test_pkl", required=True)
+    p.add_argument("--use_text", default="text", choices=["text", "pred_str"])
+    p.add_argument("--bert_checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--train_batch_size", type=int, default=8)
+    p.add_argument("-lr", "--learning_rate", type=float, default=None)
+    p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_text)
 
     p = sub.add_parser("feat-scoring", help="mask statistics")
     p.add_argument("--pkl", required=True)

@@ -162,7 +162,9 @@ class PositionalConvEmbedding(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention; fp32 softmax, MXU-friendly einsums."""
+    """Multi-head self-attention; fp32 softmax, MXU-friendly einsums, or the
+    fused Pallas flash kernel (cfg.attention_impl == "pallas"; no [T, T]
+    probability tensor in HBM — ops/attention.py)."""
 
     cfg: BackboneConfig
     dtype: jnp.dtype = jnp.float32
@@ -173,6 +175,7 @@ class Attention(nn.Module):
         x: jax.Array,
         attention_bias: jax.Array | None = None,
         deterministic: bool = True,
+        key_mask: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.cfg
         h, d = cfg.num_attention_heads, cfg.head_dim
@@ -180,10 +183,21 @@ class Attention(nn.Module):
         def proj(name):
             return nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)
 
+        b, t, _ = x.shape
+        if cfg.attention_impl == "pallas" and (
+            deterministic or cfg.attention_dropout == 0.0
+        ):
+            from ..ops.attention import multihead_attention
+
+            q = proj("q_proj")(x).reshape(b, t, h, d)
+            k = proj("k_proj")(x).reshape(b, t, h, d)
+            v = proj("v_proj")(x).reshape(b, t, h, d)
+            ctx = multihead_attention(q, k, v, key_mask, impl="pallas")
+            return proj("out_proj")(ctx.reshape(b, t, cfg.hidden_size))
+
         q = proj("q_proj")(x) * (d**-0.5)
         k = proj("k_proj")(x)
         v = proj("v_proj")(x)
-        b, t, _ = x.shape
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, h, d)
         v = v.reshape(b, t, h, d)
@@ -223,6 +237,7 @@ class EncoderLayer(nn.Module):
         x: jax.Array,
         attention_bias: jax.Array | None = None,
         deterministic: bool = True,
+        key_mask: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.cfg
         ln1 = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")
@@ -233,13 +248,15 @@ class EncoderLayer(nn.Module):
 
         if cfg.do_stable_layer_norm:  # pre-norm
             x = x + drop(
-                attn(ln1(x).astype(self.dtype), attention_bias, deterministic),
+                attn(ln1(x).astype(self.dtype), attention_bias, deterministic,
+                     key_mask),
                 deterministic=deterministic,
             )
             x = x + ffn(ln2(x).astype(self.dtype), deterministic)
             return x
         # post-norm (data2vec audio)
-        x = x + drop(attn(x, attention_bias, deterministic), deterministic=deterministic)
+        x = x + drop(attn(x, attention_bias, deterministic, key_mask),
+                     deterministic=deterministic)
         x = ln1(x).astype(self.dtype)
         x = x + ffn(x, deterministic)
         return ln2(x).astype(self.dtype)
@@ -253,12 +270,12 @@ class _ScanBody(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, carry, attention_bias, deterministic: bool = True):
+    def __call__(self, carry, attention_bias, key_mask, deterministic: bool = True):
         layer_cls = EncoderLayer
         if self.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         out = layer_cls(self.cfg, self.dtype, name="layer")(
-            carry, attention_bias, deterministic)
+            carry, attention_bias, deterministic, key_mask)
         return out, ()
 
 
@@ -297,11 +314,11 @@ class Encoder(nn.Module):
                 _ScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
-                in_axes=(nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
                 length=cfg.num_hidden_layers,
             )
             x, _ = scan(cfg, self.dtype, self.remat, name="layers_scan")(
-                x, attention_bias, deterministic
+                x, attention_bias, frame_mask, deterministic
             )
         else:
             layer_cls = EncoderLayer
@@ -309,7 +326,7 @@ class Encoder(nn.Module):
                 layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
             for i in range(cfg.num_hidden_layers):
                 x = layer_cls(cfg, self.dtype, name=f"layers_{i}")(
-                    x, attention_bias, deterministic
+                    x, attention_bias, deterministic, frame_mask
                 )
         if cfg.do_stable_layer_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)

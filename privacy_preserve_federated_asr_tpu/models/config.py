@@ -43,6 +43,7 @@ class BackboneConfig:
     num_conv_pos_embedding_groups: int = 16
 
     do_stable_layer_norm: bool = False
+    attention_impl: str = "xla"  # "xla" | "pallas" (fused flash attention)
 
     # SEW-D extras (squeezed encoder + DeBERTa-v2 disentangled attention)
     squeeze_factor: int = 1

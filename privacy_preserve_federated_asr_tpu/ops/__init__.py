@@ -7,6 +7,8 @@ from .losses import (
     recall_family_loss,
 )
 from .ctc import ctc_loss
+from .decode import ad_vote, greedy_ids
+from .attention import attention_xla, multihead_attention
 
 __all__ = [
     "gradient_reversal",
@@ -16,4 +18,8 @@ __all__ = [
     "fsm_attention_loss",
     "recall_family_loss",
     "ctc_loss",
+    "ad_vote",
+    "greedy_ids",
+    "attention_xla",
+    "multihead_attention",
 ]

@@ -91,3 +91,18 @@ def test_cli_federated_smoke(data_dir, tmp_path, capsys):
           *_common(data_dir, tmp_path)])
     out = capsys.readouterr().out
     assert "eval_wer" in out
+
+
+def test_cli_text_branch(data_dir, tmp_path, capsys):
+    # reuse the extract artifacts pipeline: train tiny then extract
+    main(["train", "--epochs", "1", "-st", "0",
+          "-model_out", str(tmp_path / "m2"), "-log", "t2.txt",
+          *_common(data_dir, tmp_path)])
+    main(["extract", "-st", "2", "-model_in", str(tmp_path / "m2" / "final"),
+          "-csv", "t2", "--csv_out_dir", str(tmp_path / "r2"),
+          *_common(data_dir, tmp_path)])
+    capsys.readouterr()
+    main(["text", "--train_pkl", str(tmp_path / "r2" / "t2_train.pkl"),
+          "--test_pkl", str(tmp_path / "r2" / "t2.pkl"), "--epochs", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "test_acc" in out

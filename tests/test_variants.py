@@ -193,3 +193,31 @@ def test_teacher_transcript_merge(tmp_path):
     assert [e.path for e in out] == ["adrso000_PAR_0.wav", "adrso002_PAR_0.wav"]
     assert out[0].text == "HELLO THERE"  # uppercased
     assert out[0].labels is not None
+
+
+def test_dacs_with_sewd_backbone_smoke():
+    """DACS heads + toggling masks over the SEW-D encoder (model_type switch)."""
+    cfg = DACSConfig(
+        backbone=BackboneConfig(
+            model_type="sew-d", hidden_size=32, num_hidden_layers=1,
+            num_attention_heads=4, intermediate_size=64,
+            conv_dim=(16, 24), conv_kernel=(10, 3), conv_stride=(5, 2),
+            conv_bias=False, feat_extract_norm="group",
+            pos_conv_type="single", num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4, squeeze_factor=2,
+            position_buckets=16, relative_attention=True,
+            pos_att_type=("p2c", "c2p"), norm_rel_ebd="layer_norm",
+            hidden_act="gelu_python",
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0),
+        stage=2, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    model = DACSModel(cfg)
+    out = model.apply({"params": params}, _x(b=2),
+                      rngs={"gumbel": jax.random.PRNGKey(1)})
+    assert out.logits.shape[-1] == cfg.backbone.vocab_size
+    from privacy_preserve_federated_asr_tpu.models.objectives import dacs_loss
+    labels = jnp.asarray(np.tile(LABELS, (2, 1)))
+    loss, _ = dacs_loss(out, labels, jnp.array([5, 5]), jnp.array([1, 0]), cfg,
+                        params["similar_fc"]["kernel"])
+    assert np.isfinite(float(loss))
