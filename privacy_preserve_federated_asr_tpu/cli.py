@@ -212,7 +212,7 @@ def cmd_federated(args):
 
 
 def cmd_extract(args):
-    from .evaluation import extract_embeddings, rows_to_pickle
+    from .evaluation import extract_embeddings, rows_to_pickle, write_results_csv
 
     cfg = _dacs_cfg(args)
     params = load_params(cfg, args.model_in_path, args.seed)
@@ -222,6 +222,8 @@ def cmd_extract(args):
         rows = extract_embeddings(cfg, params, exs, tok,
                                   batch_size=args.eval_batch_size)
         rows_to_pickle(rows, str(out_dir / f"{args.csv_name}{split}.pkl"))
+        if split == "":  # the reference writes Result.csv for the test set
+            write_results_csv(rows, str(out_dir))
         print(f"[extract] wrote {len(rows)} rows -> {out_dir}/{args.csv_name}{split}.pkl")
 
 

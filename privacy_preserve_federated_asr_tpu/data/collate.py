@@ -101,7 +101,13 @@ class LengthBucketBatcher:
         seed: int = 0,
         drop_last: bool = False,
         max_samples: int | None = None,
+        shuffle_window: int | None = None,
     ):
+        """``shuffle_window``: when set, batch *membership* reshuffles each
+        epoch HF-LengthGroupedSampler-style — examples are permuted, locally
+        sorted by length within windows of ``batch_size * shuffle_window``,
+        then batched. None keeps fixed length-sorted membership (fewest
+        compiled shapes)."""
         examples = [
             e for e in examples if max_samples is None or len(e.input_values) <= max_samples
         ]
@@ -111,6 +117,7 @@ class LengthBucketBatcher:
         self.time_multiple = time_multiple
         self.label_multiple = label_multiple
         self.drop_last = drop_last
+        self.shuffle_window = shuffle_window
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -120,15 +127,27 @@ class LengthBucketBatcher:
         return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch_seed: int | None = None) -> Iterator[Batch]:
-        """Yield padded batches in shuffled order (fixed membership)."""
+        """Yield padded batches in shuffled order."""
+        rng0 = (np.random.default_rng(epoch_seed)
+                if epoch_seed is not None else self._rng)
+        if self.shuffle_window:
+            pool = [self._sorted[i] for i in rng0.permutation(len(self._sorted))]
+            win = self.batch_size * self.shuffle_window
+            resorted = []
+            for i in range(0, len(pool), win):
+                chunk = pool[i : i + win]
+                chunk.sort(key=lambda e: len(e.input_values))
+                resorted.extend(chunk)
+            source = resorted
+        else:
+            source = self._sorted
         groups = [
-            self._sorted[i : i + self.batch_size]
-            for i in range(0, len(self._sorted), self.batch_size)
+            source[i : i + self.batch_size]
+            for i in range(0, len(source), self.batch_size)
         ]
         if self.drop_last and groups and len(groups[-1]) < self.batch_size:
             groups = groups[:-1]
-        rng = np.random.default_rng(epoch_seed) if epoch_seed is not None else self._rng
-        for gi in rng.permutation(len(groups)):
+        for gi in rng0.permutation(len(groups)):
             yield pad_batch(
                 groups[gi],
                 time_multiple=self.time_multiple,

@@ -115,13 +115,15 @@ def prepare_examples(
 
 
 def _save_cache(cache_file: Path, examples: list[AsrExample]) -> None:
+    arrays = np.empty(len(examples), dtype=object)
+    for i, e in enumerate(examples):
+        arrays[i] = e.array
     np.savez_compressed(
         cache_file,
         paths=np.array([e.path for e in examples]),
         texts=np.array([e.text if e.text is not None else "" for e in examples]),
         labels=np.array([e.dementia_label for e in examples], dtype=np.int32),
-        arrays=np.array([e.array for e in examples], dtype=object),
-        allow_pickle=True,
+        arrays=arrays,
     )
 
 

@@ -1,4 +1,9 @@
-from .extract import ExtractionRow, extract_embeddings, rows_to_pickle
+from .extract import (
+    ExtractionRow,
+    extract_embeddings,
+    rows_to_pickle,
+    write_results_csv,
+)
 from .detail_wer import detailed_wer_report, MMSE_BANDS
 from .svm_ad import predict_ad_svm, speaker_vote_metrics
 from .feat_scoring import mask_node_statistics, per_utt_on_rates
@@ -8,6 +13,7 @@ __all__ = [
     "ExtractionRow",
     "extract_embeddings",
     "rows_to_pickle",
+    "write_results_csv",
     "detailed_wer_report",
     "MMSE_BANDS",
     "predict_ad_svm",

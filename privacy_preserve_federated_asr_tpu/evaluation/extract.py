@@ -89,6 +89,19 @@ def extract_embeddings(
     return rows
 
 
+def write_results_csv(rows: list[ExtractionRow], save_path: str) -> None:
+    """ASR output CSV with GroundTruth/PredStr columns (reference
+    ``WriteResult``, centralized/utils.py:113-116)."""
+    import pandas as pd
+
+    Path(save_path).mkdir(parents=True, exist_ok=True)
+    df = pd.DataFrame(
+        {"GroundTruth": [r.text for r in rows],
+         "PredStr": [r.pred_str for r in rows]})
+    df.to_csv(f"{save_path}/Result.csv")
+    print(f"Writing results to {save_path}")
+
+
 def rows_to_pickle(rows: list[ExtractionRow], path: str) -> None:
     """Dump rows as a pandas DataFrame pickle with the reference's column
     names (so reference-era analysis notebooks load it directly)."""

@@ -184,9 +184,15 @@ class Attention(nn.Module):
             return nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)
 
         b, t, _ = x.shape
-        if cfg.attention_impl == "pallas" and (
-            deterministic or cfg.attention_dropout == 0.0
-        ):
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = "pallas" if t >= 1024 else "xla"
+        if impl == "pallas":
+            # NOTE: the fused kernel does not implement attention-prob
+            # dropout; when selected, that dropout is skipped (the other
+            # dropouts still apply). At T >= ~1024 XLA's materialized
+            # [T, T] attention stops compiling on v5e, so this trade is
+            # what makes long utterances trainable at all.
             from ..ops.attention import multihead_attention
 
             q = proj("q_proj")(x).reshape(b, t, h, d)

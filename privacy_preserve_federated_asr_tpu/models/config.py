@@ -43,7 +43,10 @@ class BackboneConfig:
     num_conv_pos_embedding_groups: int = 16
 
     do_stable_layer_norm: bool = False
-    attention_impl: str = "xla"  # "xla" | "pallas" (fused flash attention)
+    # "auto": XLA einsum attention for short sequences, the fused Pallas
+    # flash kernel once T >= 1024 frames (where XLA's materialized [T, T]
+    # buffers stop compiling on v5e); or force "xla" / "pallas".
+    attention_impl: str = "auto"
 
     # SEW-D extras (squeezed encoder + DeBERTa-v2 disentangled attention)
     squeeze_factor: int = 1

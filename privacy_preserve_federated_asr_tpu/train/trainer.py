@@ -54,6 +54,7 @@ class TrainerConfig:
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
+    shuffle_window: int | None = None        # per-epoch membership reshuffle
     log_file: str | None = None
     log_dir: str = "./saves/log"
     save_dir: str | None = None
@@ -80,7 +81,7 @@ class Trainer:
         self.train_batcher = LengthBucketBatcher(
             train_examples, tcfg.batch_size, time_multiple=tcfg.time_multiple,
             label_multiple=tcfg.label_multiple, seed=tcfg.seed,
-            max_samples=tcfg.max_samples,
+            max_samples=tcfg.max_samples, shuffle_window=tcfg.shuffle_window,
         )
         self.eval_batcher = (
             LengthBucketBatcher(

@@ -106,3 +106,19 @@ def test_filter_by_speakers():
     exs = _mk_examples(6)
     got = filter_by_speakers(exs, ["S000", "S003"])
     assert [e.path for e in got] == ["S000_PAR_0_1.wav", "S003_PAR_0_1.wav"]
+
+
+def test_shuffle_window_reshuffles_membership():
+    exs = _mk_examples(32, seed=5)
+    b = LengthBucketBatcher(exs, batch_size=4, time_multiple=8000,
+                            shuffle_window=2)
+    e1 = [set(x.paths) for x in b.epoch(epoch_seed=1)]
+    e2 = [set(x.paths) for x in b.epoch(epoch_seed=2)]
+    # all examples covered each epoch
+    assert set().union(*e1) == {e.path for e in exs}
+    assert set().union(*e2) == {e.path for e in exs}
+    # membership differs between epochs (HF LengthGroupedSampler behavior)
+    assert e1 != e2
+    # same seed -> identical epochs
+    e1b = [set(x.paths) for x in b.epoch(epoch_seed=1)]
+    assert e1 == e1b
