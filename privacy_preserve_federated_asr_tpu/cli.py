@@ -155,7 +155,8 @@ def cmd_train(args):
         eval_batch_size=args.eval_batch_size, learning_rate=args.learning_rate,
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
-        log_file=args.log_path, save_dir=args.model_out_path))
+        log_file=args.log_path, save_dir=args.model_out_path,
+        resume_from=args.checkpoint))
     tr.train()
     print(json.dumps(tr.evaluate()))
 

@@ -46,10 +46,16 @@ class CheckpointManager:
         """The reference's ``trainer.save_model(path + "/final")``."""
         return self.save(tree, step=-1, metadata=metadata, name="final")
 
-    def restore(self, name_or_step: str | int) -> Any:
+    def restore(self, name_or_step: str | int, template: Any = None) -> Any:
+        """``template``: a pytree with the target structure (e.g. a live
+        train state) — needed to restore optax NamedTuple states, which
+        orbax otherwise returns as plain dicts."""
         name = (f"checkpoint-{name_or_step}"
                 if isinstance(name_or_step, int) else name_or_step)
-        return self._ckpt.restore((self.dir / name).absolute())
+        path = (self.dir / name).absolute()
+        if template is None:
+            return self._ckpt.restore(path)
+        return self._ckpt.restore(path, item=jax.tree.map(np.asarray, template))
 
     def latest_step(self) -> int | None:
         steps = sorted(

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import Sequence
 
 import jax
@@ -58,6 +59,7 @@ class TrainerConfig:
     log_file: str | None = None
     log_dir: str = "./saves/log"
     save_dir: str | None = None
+    resume_from: str | None = None  # checkpoint dir (or "auto" = latest in save_dir)
 
 
 class Trainer:
@@ -100,12 +102,52 @@ class Trainer:
             total_steps=total_steps,
         )
         self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
+        if tcfg.resume_from:
+            self._resume(tcfg.resume_from)
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
         eval_step = make_eval_step(self.model, cfg)
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
 
     # ---- host loops ----
+
+    def _resume(self, where: str) -> None:
+        """Resume full train state (params + optimizer moments + step + rng)
+        from a checkpoint (the reference's ``trainer.train(checkpoint)``,
+        options.py --checkpoint)."""
+        import dataclasses as _dc
+
+        from .checkpoint import load_params
+
+        from .checkpoint import CheckpointManager
+
+        template = self._state_tree()
+        if where == "auto":
+            assert self.ckpt is not None, "resume_from='auto' needs save_dir"
+            step = self.ckpt.latest_step()
+            if step is None:
+                return
+            tree = self.ckpt.restore(step, template=template)
+        else:
+            try:
+                tree = CheckpointManager(
+                    str(Path(where).parent)).restore(Path(where).name,
+                                                     template=template)
+            except Exception:
+                tree = load_params(where)  # params-only export
+        if isinstance(tree, dict) and "opt_state" in tree:  # full state
+            self.state = DACSTrainState(
+                step=jnp.asarray(tree["step"]), params=tree["params"],
+                opt_state=tree["opt_state"], rng=jnp.asarray(tree["rng"]))
+        else:  # params-only export (e.g. a "final" dir)
+            self.state = _dc.replace(self.state, params=tree)
+        print(f"[resume] restored train state from {where} "
+              f"(step {int(self.state.step)})")
+
+    def _state_tree(self):
+        return jax.device_get({
+            "step": self.state.step, "params": self.state.params,
+            "opt_state": self.state.opt_state, "rng": self.state.rng})
 
     def _batch_args(self, b: Batch):
         return (DeviceBatch.from_host(b),)
@@ -149,7 +191,8 @@ class Trainer:
                     ev["step"] = step
                     self.logger.log(ev)
                 if self.ckpt is not None and step % t.save_steps == 0:
-                    self.ckpt.save(jax.device_get(self.state.params), step,
+                    # full train state (params + moments + rng) -> exact resume
+                    self.ckpt.save(self._state_tree(), step,
                                    metadata={"stage": self.cfg.stage})
         summary = timer.summary()
         summary["step"] = step
