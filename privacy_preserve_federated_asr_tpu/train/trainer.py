@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Sequence
 
@@ -118,8 +117,6 @@ class Trainer:
         import dataclasses as _dc
 
         from .checkpoint import load_params
-
-        from .checkpoint import CheckpointManager
 
         template = self._state_tree()
         if where == "auto":
