@@ -27,12 +27,17 @@ MEASURE_STEPS = 10
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
+    # RBG PRNG: threefry dropout-mask generation costs ~55 ms/step on this
+    # model (measured); the hardware-backed RBG keeps full dropout semantics
+    # at ~0 cost (101 -> 155 utt/s). Standard TPU recommendation.
+    jax.config.update("jax_default_prng_impl", "rbg")
     # persistent compile cache: the remote-compile path costs minutes per
     # new program; repeat bench runs hit this cache
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
 
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel

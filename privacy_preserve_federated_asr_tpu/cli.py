@@ -141,10 +141,21 @@ def _add_common(p):
     p.add_argument("--spk2label", default="./meta-data/test_dic.npy")
     p.add_argument("--dataset_cache", default="./dataset_cache")
     p.add_argument("-ckpt", "--checkpoint", default=None)
+    p.add_argument("--no_fast_rng", action="store_true",
+                   help="keep the threefry PRNG (slower dropout mask gen)")
+
+
+def _maybe_fast_rng(args):
+    if not getattr(args, "no_fast_rng", False):
+        from .utils import enable_tpu_fast_rng
+
+        enable_tpu_fast_rng()
 
 
 def cmd_train(args):
     from .train.trainer import Trainer, TrainerConfig
+
+    _maybe_fast_rng(args)
 
     cfg = _dacs_cfg(args)
     train_exs, tok = _load_examples(args, args.train_csv)
@@ -163,6 +174,8 @@ def cmd_train(args):
 
 def cmd_federated(args):
     import jax
+
+    _maybe_fast_rng(args)
 
     from .data.splits import CLIENT_SPLITS_ADRESS, filter_by_speakers
     from .federated import FederatedConfig, FederatedEngine

@@ -1,5 +1,5 @@
-from .profiling import StepProfiler, trace_profile
+from .profiling import StepProfiler, enable_tpu_fast_rng, trace_profile
 from .experiments import exp_details, grid_search, train_50_50
 
-__all__ = ["StepProfiler", "trace_profile", "exp_details", "grid_search",
-           "train_50_50"]
+__all__ = ["StepProfiler", "enable_tpu_fast_rng", "trace_profile",
+           "exp_details", "grid_search", "train_50_50"]

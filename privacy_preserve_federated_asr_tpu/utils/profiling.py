@@ -17,6 +17,19 @@ import time
 import numpy as np
 
 
+def enable_tpu_fast_rng() -> None:
+    """Switch JAX's default PRNG to the hardware-backed RBG implementation.
+
+    Threefry mask generation for the encoder's dropout layers costs
+    ~55 ms/step on the flagship model (measured on v5e); RBG keeps full
+    dropout semantics at ~zero cost (101 -> 155 utt/s). Call before any
+    jitted computation.
+    """
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+
 @contextlib.contextmanager
 def trace_profile(log_dir: str = "./saves/profile"):
     import jax
