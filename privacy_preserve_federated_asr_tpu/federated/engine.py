@@ -67,6 +67,7 @@ class FederatedConfig:
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None
+    shuffle_window: int | None = None  # per-epoch batch-membership reshuffle
     log_file: str | None = None
     log_dir: str = "./saves/log"
     fedavg_weighted: bool = False   # reference uses an unweighted mean
@@ -123,7 +124,8 @@ class FederatedEngine:
             batcher = LengthBucketBatcher(
                 source[cid], f.batch_size,
                 time_multiple=f.time_multiple, label_multiple=f.label_multiple,
-                seed=f.seed + round_idx, max_samples=f.max_samples)
+                seed=f.seed + round_idx, max_samples=f.max_samples,
+                shuffle_window=f.shuffle_window)
             batches = []
             for ep in range(f.local_ep):
                 batches.extend(batcher.epoch(epoch_seed=f.seed + 1000 * round_idx + ep))
@@ -274,7 +276,7 @@ class FederatedEngine:
                 weight_decay=f.weight_decay, compute_dtype=f.compute_dtype,
                 remat=f.remat, time_multiple=f.time_multiple,
                 label_multiple=f.label_multiple, max_samples=f.max_samples,
-                seed=f.seed, log_dir=f.log_dir,
+                shuffle_window=f.shuffle_window, seed=f.seed, log_dir=f.log_dir,
                 log_file=f.log_file and f"global_{f.log_file}",
             ),
         )

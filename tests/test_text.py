@@ -205,3 +205,24 @@ def test_session_augmenter():
     bad = SessionAugmenter(llm_fn=lambda p: 1 / 0)
     _, _, fails = bad.augment_sessions(docs, labels, k=1)
     assert fails == ["S001"]
+
+
+def test_embed_sessions_batches_and_pads():
+    import jax
+    from privacy_preserve_federated_asr_tpu.text.bert import (
+        BertConfigT, BertEncoder, WordPieceTokenizer)
+    from privacy_preserve_federated_asr_tpu.text.classifier import embed_sessions
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "boy", "runs", "a"]
+    tok = WordPieceTokenizer({t: i for i, t in enumerate(vocab)})
+    cfg = BertConfigT.tiny_for_tests().replace(vocab_size=len(vocab))
+    enc = BertEncoder(cfg)
+    params = enc.init(jax.random.PRNGKey(0),
+                      np.zeros((1, 4), np.int32))["params"]
+
+    texts = ["the boy runs", "a", "the boy runs the boy runs"]
+    out = embed_sessions(
+        lambda ids, mask: enc.apply({"params": params}, ids, mask)[1],
+        tok, texts, batch_size=2)
+    assert out.shape == (3, cfg.hidden_size)
+    assert np.isfinite(out).all()

@@ -110,3 +110,18 @@ def test_spec_augment_applies_only_in_training():
     assert not np.allclose(np.asarray(out_train1), np.asarray(out_train2))
     out_eval2 = model.apply({"params": params}, x, deterministic=True)
     np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(out_eval2))
+
+
+def test_jsonl_logger_csv_dump(tmp_path):
+    from privacy_preserve_federated_asr_tpu.train.logging import JsonlLogger
+
+    lg = JsonlLogger(str(tmp_path), "log.txt", echo=False)
+    lg.log({"loss": 1.5, "step": 1})
+    lg.log({"eval_wer": 0.3, "step": 2})
+    lg.dump_scalars_csv(str(tmp_path / "scalars.csv"))
+    lines = (tmp_path / "scalars.csv").read_text().strip().splitlines()
+    assert lines[0].split(",") == ["eval_wer", "loss", "step"]
+    assert len(lines) == 3
+    import json
+    rows = [json.loads(l) for l in (tmp_path / "log.txt").read_text().splitlines()]
+    assert rows[0]["loss"] == 1.5

@@ -221,3 +221,24 @@ def test_dacs_with_sewd_backbone_smoke():
     loss, _ = dacs_loss(out, labels, jnp.array([5, 5]), jnp.array([1, 0]), cfg,
                         params["similar_fc"]["kernel"])
     assert np.isfinite(float(loss))
+
+
+def test_transcribe_with_ctc_model_teacher():
+    from privacy_preserve_federated_asr_tpu.data.teacher import (
+        add_transcripts, transcribe_with_ctc_model)
+
+    cfg = _cfg(stage=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(2)
+    exs = [AsrExample(path=f"adrso{i:03d}_PAR_0.wav",
+                      array=rng.normal(0, 1, 3200).astype(np.float32),
+                      text=None, dementia_label=0) for i in range(3)]
+    for e in exs:
+        e.input_values = e.array
+    trs = transcribe_with_ctc_model(cfg, params, exs, TOK, batch_size=2,
+                                    time_multiple=3200)
+    assert set(trs) == {e.path for e in exs}
+    # merge only keeps non-empty teacher transcripts
+    out = add_transcripts(exs, trs, TOK)
+    for e in out:
+        assert e.text and e.labels is not None
