@@ -160,6 +160,105 @@ def generate_pseudo_labels(
     return result
 
 
+def multitask_local_update(
+    cfg: DACSConfig,
+    params: Any,
+    unsup_examples: Sequence[AsrExample],
+    tokenizer: CTCCharTokenizer,
+    num_epochs: int = 1,
+    batch_size: int = 4,
+    time_multiple: int = 16000,
+    label_multiple: int = 32,
+    learning_rate: float | None = None,
+    warmup_steps: int = 100,
+    seed: int = 0,
+) -> tuple[Any, list[float]]:
+    """The reference's unsupervised N-best client update
+    (ASRLocalUpdate_Multitask.update_weights_adapted :479-621), end to end:
+
+      1. generate num_lms pseudo-transcripts per utterance (stochastic
+         Gumbel passes + greedy decode),
+      2. initialize the N lm_heads from lm_head,
+      3. train with the multitask objective (head i on transcript set i,
+         CTC losses averaged over heads),
+      4. copy lm_heads[0] (1-best) back into lm_head.
+
+    Returns (updated params, per-step losses).
+    """
+    import optax
+
+    from ..data.collate import LengthBucketBatcher
+    from ..train.optim import make_optimizer
+    from ..train.train_state import DACSTrainState
+
+    n = cfg.num_lms
+    assert n > 1, "multitask update needs num_lms > 1"
+    pseudo = generate_pseudo_labels(
+        cfg.replace(num_lms=1), params, unsup_examples, tokenizer, n,
+        batch_size=batch_size, time_multiple=time_multiple, seed=seed)
+    params = init_lm_heads_from_lm_head(params, n)
+
+    model = DACSModel(cfg)
+    tx = make_optimizer(
+        jax.eval_shape(lambda: params), stage=cfg.stage,
+        learning_rate=learning_rate, warmup_steps=warmup_steps,
+        total_steps=max(len(unsup_examples) // batch_size, 1) * num_epochs)
+
+    # give each example its 1-best labels so the batcher pads a base set;
+    # the N-best stacks ride alongside keyed by path
+    examples = attach_pseudo_labels(list(unsup_examples), pseudo)
+    if not examples:  # every 1-best transcript empty (e.g. untrained model)
+        print("[multitask] no usable pseudo transcripts; skipping update")
+        return copy_first_head_to_lm_head(jax.device_get(params)), []
+    batcher = LengthBucketBatcher(examples, batch_size,
+                                  time_multiple=time_multiple,
+                                  label_multiple=label_multiple, seed=seed)
+
+    @jax.jit
+    def step(state: DACSTrainState, batch: DeviceBatch, labels_stack, ll_stack):
+        rngs, new_rng = state.next_rngs()
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch.input_values,
+                              batch.input_lengths, deterministic=False,
+                              backbone_deterministic=cfg.stage != 0, rngs=rngs)
+            return multitask_loss(out, labels_stack, ll_stack,
+                                  batch.dementia_labels, cfg,
+                                  p["similar_fc"]["kernel"], batch.sample_mask)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return DACSTrainState(step=state.step + 1, params=new_params,
+                              opt_state=opt_state, rng=new_rng), metrics["loss"]
+
+    state = DACSTrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), rng=jax.random.PRNGKey(seed))
+    losses = []
+    for ep in range(num_epochs):
+        for b in batcher.epoch(epoch_seed=seed + ep):
+            l_pad = b.labels.shape[1]
+            stack = np.full((n, len(b.paths), l_pad), -100, dtype=np.int32)
+            lls = np.zeros((n, len(b.paths)), dtype=np.int32)
+            for j, path in enumerate(b.paths):
+                for i, (_, ids, _) in enumerate(pseudo[path]):
+                    ids = ids[:l_pad]
+                    stack[i, j, : len(ids)] = ids
+                    lls[i, j] = len(ids)
+            # pad the batch dim to the static batch size
+            bsz = b.labels.shape[0]
+            if stack.shape[1] < bsz:
+                pad_n = bsz - stack.shape[1]
+                stack = np.pad(stack, ((0, 0), (0, pad_n), (0, 0)),
+                               constant_values=-100)
+                lls = np.pad(lls, ((0, 0), (0, pad_n)))
+            state, loss = step(state, DeviceBatch.from_host(b),
+                               jnp.asarray(stack), jnp.asarray(lls))
+            losses.append(float(loss))
+    out_params = copy_first_head_to_lm_head(jax.device_get(state.params))
+    return out_params, losses
+
+
 def attach_pseudo_labels(
     examples: Sequence[AsrExample],
     pseudo: dict[str, list[tuple[str, list[int], float]]],

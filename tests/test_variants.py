@@ -242,3 +242,28 @@ def test_transcribe_with_ctc_model_teacher():
     out = add_transcripts(exs, trs, TOK)
     for e in out:
         assert e.text and e.labels is not None
+
+
+def test_multitask_local_update_end_to_end():
+    """The unsupervised N-best client update runs end to end: pseudo-label,
+    train the N heads, copy head 0 back; trained params change."""
+    from privacy_preserve_federated_asr_tpu.federated.multitask import (
+        multitask_local_update)
+
+    cfg = _cfg(stage=0, num_lms=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(9))
+    rng = np.random.default_rng(3)
+    exs = [AsrExample(path=f"adrso{i:03d}_PAR_0.wav",
+                      array=rng.normal(0, 1, 3200).astype(np.float32),
+                      text=None, dementia_label=i % 2,
+                      input_values=rng.normal(0, 1, 3200).astype(np.float32))
+           for i in range(4)]
+    out, losses = multitask_local_update(
+        cfg, params, exs, TOK, num_epochs=1, batch_size=2,
+        time_multiple=3200, learning_rate=1e-4, warmup_steps=1)
+    assert losses and all(np.isfinite(l) for l in losses)
+    # lm_head got the trained 1-best head back
+    np.testing.assert_array_equal(np.asarray(out["lm_head"]["kernel"]),
+                                  np.asarray(out["lm_heads_0"]["kernel"]))
+    # pseudo transcripts may be empty for a random model; heads still exist
+    assert "lm_heads_1" in out
