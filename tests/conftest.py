@@ -12,3 +12,12 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
+
+# If a site hook already imported jax before this conftest ran (this
+# container's axon sitecustomize does), the env vars above are too late —
+# force the CPU platform programmatically, and pin true-fp32 matmuls (on
+# TPU fp32 matmuls default to bf16x3, which breaks parity tolerances).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")

