@@ -103,6 +103,7 @@ class FederatedEngine:
         self.global_params = params
         self.logger = JsonlLogger(fcfg.log_dir, fcfg.log_file)
         self._round_fns: dict = {}
+        self._eval_trainers: dict[int, Trainer] = {}
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -285,14 +286,20 @@ class FederatedEngine:
         return self.global_params
 
     def evaluate(self, stage: int) -> dict:
-        tr = Trainer(
-            self.cfg.replace(stage=stage), self.global_params, [],
-            self.eval_examples, self.tokenizer,
-            TrainerConfig(batch_size=self.fcfg.eval_batch_size,
-                          eval_batch_size=self.fcfg.eval_batch_size,
-                          time_multiple=self.fcfg.time_multiple,
-                          label_multiple=self.fcfg.label_multiple),
-        )
+        # One Trainer (hence one jitted eval step) per stage, reused across
+        # rounds — a fresh jit wrapper per round would retrace/recompile.
+        tr = self._eval_trainers.get(stage)
+        if tr is None:
+            tr = Trainer(
+                self.cfg.replace(stage=stage), self.global_params, [],
+                self.eval_examples, self.tokenizer,
+                TrainerConfig(batch_size=self.fcfg.eval_batch_size,
+                              eval_batch_size=self.fcfg.eval_batch_size,
+                              time_multiple=self.fcfg.time_multiple,
+                              label_multiple=self.fcfg.label_multiple),
+            )
+            self._eval_trainers[stage] = tr
+        tr.state = dataclasses.replace(tr.state, params=self.global_params)
         return tr.evaluate()
 
     # ---- the 3-stage DACS FL pipeline ----

@@ -5,6 +5,12 @@ Layout: ``<dir>/<step>/`` orbax pytree checkpoints with a retention limit,
 plus ``<dir>/final/`` for the end-of-run export the reference's federated
 round-robin filesystem layout expects (``<out>_client{id}_round{r}/final``).
 Metadata (stage, round, client) rides in a sidecar JSON.
+
+Saves are ASYNC: ``save`` snapshots the tree to host memory and returns
+while orbax commits to disk on a background thread, so checkpoint IO
+overlaps the next training steps. Metadata writes and retention pruning are
+deferred until the commit finalizes (the checkpoint directory only appears
+atomically at commit); any read API flushes pending work first.
 """
 
 from __future__ import annotations
@@ -28,36 +34,56 @@ class CheckpointManager:
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.save_total_limit = save_total_limit
-        self._ckpt = ocp.PyTreeCheckpointer()
+        # StandardCheckpointer is an AsyncCheckpointer: save() returns after
+        # the host snapshot; the disk commit runs on a background thread.
+        self._ckpt = ocp.StandardCheckpointer()
+        self._pending: list[tuple[Path, dict | None, bool]] = []
 
     def save(self, tree: Any, step: int, metadata: dict | None = None,
              name: str | None = None) -> Path:
         path = self.dir / (name if name is not None else f"checkpoint-{step}")
+        self.wait_until_finished()  # one outstanding save at a time
         if path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path.absolute(), _as_numpy(tree))
-        if metadata is not None:
-            (path / "metadata.json").write_text(json.dumps({"step": step, **metadata}))
-        if name is None:
-            self._prune()
+        md = {"step": step, **metadata} if metadata is not None else None
+        self._pending.append((path, md, name is None))
         return path
 
     def save_final(self, tree: Any, metadata: dict | None = None) -> Path:
-        """The reference's ``trainer.save_model(path + "/final")``."""
-        return self.save(tree, step=-1, metadata=metadata, name="final")
+        """The reference's ``trainer.save_model(path + "/final")``.
+
+        Synchronous: callers read the export right after training returns.
+        """
+        path = self.save(tree, step=-1, metadata=metadata, name="final")
+        self.wait_until_finished()
+        return path
+
+    def wait_until_finished(self) -> None:
+        """Block until the in-flight save (if any) is durable on disk, then
+        run its deferred metadata write and retention pruning."""
+        self._ckpt.wait_until_finished()
+        for path, md, prune in self._pending:
+            if md is not None:
+                (path / "metadata.json").write_text(json.dumps(md))
+            if prune:
+                self._prune()
+        self._pending.clear()
 
     def restore(self, name_or_step: str | int, template: Any = None) -> Any:
         """``template``: a pytree with the target structure (e.g. a live
         train state) — needed to restore optax NamedTuple states, which
         orbax otherwise returns as plain dicts."""
+        self.wait_until_finished()
         name = (f"checkpoint-{name_or_step}"
                 if isinstance(name_or_step, int) else name_or_step)
         path = (self.dir / name).absolute()
         if template is None:
             return self._ckpt.restore(path)
-        return self._ckpt.restore(path, item=jax.tree.map(np.asarray, template))
+        return self._ckpt.restore(path, jax.tree.map(np.asarray, template))
 
     def latest_step(self) -> int | None:
+        self.wait_until_finished()
         steps = sorted(
             int(p.name.split("-")[1])
             for p in self.dir.glob("checkpoint-*") if p.name.split("-")[1].isdigit()
@@ -74,15 +100,19 @@ class CheckpointManager:
 
 
 def save_params(path: str, params: Any, metadata: dict | None = None) -> None:
-    """One-shot params export (the FL engine's weight hand-off format)."""
-    ckpt = ocp.PyTreeCheckpointer()
+    """One-shot params export (the FL engine's weight hand-off format).
+
+    Synchronous — the export must be durable when this returns.
+    """
     p = Path(path)
     if p.exists():
         shutil.rmtree(p)
-    ckpt.save(p.absolute(), _as_numpy(params))
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(p.absolute(), _as_numpy(params))
     if metadata:
         (p / "metadata.json").write_text(json.dumps(metadata))
 
 
 def load_params(path: str) -> Any:
-    return ocp.PyTreeCheckpointer().restore(Path(path).absolute())
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(Path(path).absolute())

@@ -207,3 +207,18 @@ def test_semi_supervised_round_phases():
         _examples(4, seed=3), None, TOK, params,
         client_unsup_examples={0: _examples(4, seed=4), 1: _examples(2, seed=5)})
     eng0.run_rounds(stage=0, num_rounds=1)
+
+
+def test_engine_eval_step_cached_across_rounds():
+    """Per-round evaluate() must reuse one jitted eval step (a fresh Trainer
+    per round retraces; on the real TPU each retrace costs minutes)."""
+    eng = _make_engine(0)
+    eng.eval_examples = _examples(4, seed=3)
+    ev1 = eng.evaluate(stage=0)
+    tr1 = eng._eval_trainers[0]
+    eng.run_rounds(stage=0, num_rounds=1)
+    ev2 = eng.evaluate(stage=0)
+    assert eng._eval_trainers[0] is tr1
+    assert set(ev1) == set(ev2) and np.isfinite(ev2["eval_loss"])
+    # params swap actually takes effect: post-round eval sees the new params
+    assert ev1["eval_loss"] != ev2["eval_loss"]
