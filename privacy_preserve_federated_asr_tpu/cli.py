@@ -184,10 +184,28 @@ def cmd_federated(args):
     cfg = _dacs_cfg(args)
     train_exs, tok = _load_examples(args, args.train_csv)
     test_exs, _ = _load_examples(args, args.test_csv)
-    params = load_params(cfg, args.model_in_path, args.seed)
+    # global params are always single-head; lm_heads_* (num_lms > 1) are
+    # per-client scratch created inside the multitask round
+    params = load_params(cfg.replace(num_lms=1), args.model_in_path, args.seed)
 
     clients = {cid: filter_by_speakers(train_exs, CLIENT_SPLITS_ADRESS.get(cid, ()))
                for cid in range(args.num_users)}
+    # unsupervised (unlabeled / teacher-transcribed) per-client data for
+    # supervised_level < 1 (reference: ADReSSo, federated_main.py:279-296)
+    unsup_clients = None
+    if args.supervised_level < 1.0:
+        assert args.unsup_train_csv, "--supervised_level < 1 needs --unsup_train_csv"
+        from .data.splits import CLIENT_SPLITS_ADRESSO
+
+        unsup_exs, _ = _load_examples(args, args.unsup_train_csv)
+        unsup_clients = {
+            cid: filter_by_speakers(unsup_exs, CLIENT_SPLITS_ADRESSO.get(cid, ()))
+            for cid in range(args.num_users)}
+        if any(len(v) == 0 for v in unsup_clients.values()):
+            speakers = sorted({e.path.split("_")[0] for e in unsup_exs})
+            unsup_clients = {
+                cid: filter_by_speakers(unsup_exs, speakers[cid::args.num_users])
+                for cid in range(args.num_users)}
     public = filter_by_speakers(train_exs, CLIENT_SPLITS_ADRESS["public"])
     if any(len(v) == 0 for v in clients.values()) or len(public) == 0:
         # dataset doesn't use the ADReSS speaker ids: partition the
@@ -206,8 +224,9 @@ def cmd_federated(args):
         batch_size=args.train_batch_size, eval_batch_size=args.eval_batch_size,
         seed=args.seed, learning_rate=args.learning_rate,
         compute_dtype=args.compute_dtype, remat=args.remat,
-        log_file=args.log_path)
-    eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params)
+        log_file=args.log_path, supervised_level=args.supervised_level)
+    eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
+                          client_unsup_examples=unsup_clients)
 
     out = Path(args.model_out_path)
     if args.FL_STAGE in (1, 0):
@@ -396,6 +415,9 @@ def main(argv=None):
     p.add_argument("--local_ep", type=int, default=5)
     p.add_argument("--global_ep", type=int, default=30)
     p.add_argument("-sl", "--supervised_level", type=float, default=1.0)
+    p.add_argument("--unsup_train_csv", default=None,
+                   help="unlabeled/teacher-transcribed client data "
+                        "(reference: ADReSSo) for supervised_level < 1")
     p.set_defaults(fn=cmd_federated)
 
     p = sub.add_parser("extract", help="dump embeddings/masks/transcripts")

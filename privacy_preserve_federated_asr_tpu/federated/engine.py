@@ -40,9 +40,16 @@ from ..models.dacs import DACSModel
 from ..parallel.fed import fedavg_stacked, graft_network
 from ..train.logging import JsonlLogger
 from ..train.optim import make_optimizer
-from ..train.steps import DeviceBatch, make_train_step
+from ..train.steps import DeviceBatch, make_multitask_train_step, make_train_step
 from ..train.train_state import DACSTrainState
 from ..train.trainer import Trainer, TrainerConfig
+from .multitask import (
+    attach_pseudo_labels,
+    copy_first_head_to_lm_head,
+    generate_pseudo_labels,
+    init_lm_heads_from_lm_head,
+    make_pseudo_forward,
+)
 
 # stage -> aggregated sub-network (reference: stage1 aggregates "ASR"
 # [encoder, lm_head] pairs, stage2 "AD", stage3 "toggling_network")
@@ -104,36 +111,54 @@ class FederatedEngine:
         self.logger = JsonlLogger(fcfg.log_dir, fcfg.log_file)
         self._round_fns: dict = {}
         self._eval_trainers: dict[int, Trainer] = {}
+        self._pseudo_fwd = None  # cached jitted stochastic-decode forward
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
     # ------------------------------------------------------------------
 
     def _client_round_batches(self, cids, round_idx: int,
-                              source: dict | None = None) -> DeviceBatch:
+                              source: dict | None = None, pseudo: dict | None = None):
         """Build [K, steps, B, ...] stacked batches for one round.
 
         All sampled clients are padded to the same step count and the same
         (T, L) shapes so one compiled program serves the round; padding
         batches carry sample_mask=0 (zero loss, zero grads).
+
+        ``pseudo`` (cid -> path -> N-best (text, ids, conf) list) marks the
+        N-best multitask phase: examples get their 1-best pseudo labels for
+        bucketing and the return value becomes a
+        (DeviceBatch, labels_stack [K,steps,N,B,L], lengths [K,steps,N,B])
+        tuple carrying every head's transcript set.
         """
         f = self.fcfg
+        n_lms = self.cfg.num_lms
         source = self.client_examples if source is None else source
-        per_client: list[list] = []
+        per_client: list[tuple[Any, list]] = []
         t_max = l_max = 0
         for cid in cids:
+            examples = source[cid]
+            if pseudo is not None:
+                examples = attach_pseudo_labels(examples, pseudo[cid])
             batcher = LengthBucketBatcher(
-                source[cid], f.batch_size,
+                examples, f.batch_size,
                 time_multiple=f.time_multiple, label_multiple=f.label_multiple,
                 seed=f.seed + round_idx, max_samples=f.max_samples,
                 shuffle_window=f.shuffle_window)
             batches = []
             for ep in range(f.local_ep):
                 batches.extend(batcher.epoch(epoch_seed=f.seed + 1000 * round_idx + ep))
-            per_client.append(batches)
+            per_client.append((cid, batches))
             t_max = max(t_max, max(b.input_values.shape[1] for b in batches))
             l_max = max(l_max, max(b.labels.shape[1] for b in batches))
-        steps = max(len(bs) for bs in per_client)
+            if pseudo is not None:  # N-best sets can be longer than 1-best
+                for b in batches:
+                    for p in b.paths:
+                        for _, ids, _ in pseudo[cid][p][:n_lms]:
+                            l_max = max(l_max, len(ids))
+        if pseudo is not None:
+            l_max = -(-l_max // f.label_multiple) * f.label_multiple
+        steps = max(len(bs) for _, bs in per_client)
 
         def pad_to(b, t, l):
             iv = np.zeros((b.input_values.shape[0], t), dtype=np.float32)
@@ -142,49 +167,106 @@ class FederatedEngine:
             lab[:, : b.labels.shape[1]] = b.labels
             return dataclasses.replace(b, input_values=iv, labels=lab)
 
-        stacked_clients = []
-        for batches in per_client:
+        def nbest_stack(b):
+            bsz = b.labels.shape[0]
+            stack = np.full((n_lms, bsz, l_max), -100, dtype=np.int32)
+            lls = np.zeros((n_lms, bsz), dtype=np.int32)
+            for j, path in enumerate(b.paths):
+                for i, (_, ids, _) in enumerate(pseudo[cid][path][:n_lms]):
+                    ids = ids[:l_max]
+                    stack[i, j, : len(ids)] = ids
+                    lls[i, j] = len(ids)
+            return jnp.asarray(stack), jnp.asarray(lls)
+
+        stacked_clients, stacked_nbest = [], []
+        for cid, batches in per_client:
             dev = [DeviceBatch.from_host(pad_to(b, t_max, l_max)) for b in batches]
+            nbest = [nbest_stack(b) for b in batches] if pseudo is not None else None
             while len(dev) < steps:  # pad with an all-masked batch
                 dummy = jax.tree.map(np.zeros_like, dev[0])
                 dev.append(dataclasses.replace(dummy, labels=jnp.full_like(dev[0].labels, -100)))
+                if nbest is not None:
+                    nbest.append((jnp.full_like(nbest[0][0], -100),
+                                  jnp.zeros_like(nbest[0][1])))
             stacked_clients.append(DeviceBatch.stack(dev))
-        return DeviceBatch.stack(stacked_clients)  # leading axes [K, steps]
+            if nbest is not None:
+                stacked_nbest.append(jax.tree.map(lambda *xs: jnp.stack(xs), *nbest))
+        batches_kd = DeviceBatch.stack(stacked_clients)  # leading axes [K, steps]
+        if pseudo is None:
+            return batches_kd
+        stacks, lls = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked_nbest)
+        return batches_kd, stacks, lls
+
+    def _round_pseudo_labels(self, cids, stage: int, round_idx: int) -> dict:
+        """Per-client N-best pseudo transcripts from the CURRENT global model
+        (the reference regenerates transcripts at every local update with the
+        round-start weights, gen_Ntranscripts). One cached jitted forward
+        serves every round."""
+        if self._pseudo_fwd is None:
+            self._pseudo_fwd = make_pseudo_forward(self.cfg.replace(num_lms=1))
+        return {
+            cid: generate_pseudo_labels(
+                self.cfg.replace(stage=stage, num_lms=1), self.global_params,
+                self.client_unsup_examples[cid], self.tokenizer,
+                self.cfg.num_lms, batch_size=self.fcfg.batch_size,
+                time_multiple=self.fcfg.time_multiple,
+                seed=self.fcfg.seed + round_idx, forward_fn=self._pseudo_fwd)
+            for cid in cids
+        }
 
     # ------------------------------------------------------------------
     # the jitted round
     # ------------------------------------------------------------------
 
-    def _get_round_fn(self, stage: int, phase_steps: tuple[int, ...]):
+    def _get_round_fn(self, stage: int, phase_specs: tuple[tuple[str, int], ...]):
         """One jitted FL round over 1-2 local phases (unsupervised then
         supervised, per supervised_level); each phase gets a fresh optimizer
-        like the reference's per-phase Trainer instances."""
-        key = (stage, phase_steps)
+        like the reference's per-phase Trainer instances.
+
+        ``phase_specs``: ((kind, steps), ...) with kind "sup" (labeled /
+        1-best CTC) or "mt" (N-best multitask: lm_heads initialized from
+        lm_head, trained head-i-on-transcript-set-i, head 0 copied back —
+        reference ASRLocalUpdate_Multitask.update_weights_adapted :479-621).
+        """
+        key = (stage, phase_specs)
         if key in self._round_fns:
             return self._round_fns[key]
         f = self.fcfg
-        cfg = self.cfg.replace(stage=stage)
+        # the plain (single-head) model: global params carry no lm_heads_*
+        cfg = self.cfg.replace(stage=stage, num_lms=1)
         model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
         network = STAGE_NETWORK[stage]
+        n_lms = self.cfg.num_lms
+        base_shape = jax.eval_shape(lambda: self.global_params)
+        mt_shape = jax.eval_shape(
+            lambda: init_lm_heads_from_lm_head(self.global_params, n_lms))
+        mt_cfg = cfg.replace(num_lms=n_lms)
+        mt_model = (DACSModel(mt_cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
+                    if any(k == "mt" for k, _ in phase_specs) else None)
 
-        txs = [
-            make_optimizer(
-                jax.eval_shape(lambda: self.global_params),
+        txs, steps_fns = [], []
+        for kind, steps in phase_specs:
+            tx = make_optimizer(
+                mt_shape if kind == "mt" else base_shape,
                 stage=stage, learning_rate=f.learning_rate,
                 weight_decay=f.weight_decay, warmup_steps=f.warmup_steps,
                 total_steps=max(steps, 1),
             )
-            for steps in phase_steps
-        ]
-        steps_fns = [make_train_step(model, tx, cfg) for tx in txs]
+            txs.append(tx)
+            steps_fns.append(
+                make_multitask_train_step(mt_model, tx, mt_cfg) if kind == "mt"
+                else make_train_step(model, tx, cfg))
 
         def local_train(params, phase_batches, rng):
             losses = []
-            for tx, train_step, batches in zip(txs, steps_fns, phase_batches):
+            for (kind, _), tx, train_step, batches in zip(
+                    phase_specs, txs, steps_fns, phase_batches):
                 rng, sub = jax.random.split(rng)
+                p = (init_lm_heads_from_lm_head(params, n_lms)
+                     if kind == "mt" else params)
                 state = DACSTrainState(
-                    step=jnp.zeros((), jnp.int32), params=params,
-                    opt_state=tx.init(params), rng=sub)
+                    step=jnp.zeros((), jnp.int32), params=p,
+                    opt_state=tx.init(p), rng=sub)
 
                 def body(st, batch, _step=train_step):
                     st, metrics = _step(st, batch)
@@ -192,6 +274,10 @@ class FederatedEngine:
 
                 state, phase_losses = jax.lax.scan(body, state, batches)
                 params = state.params
+                if kind == "mt":  # 1-best head becomes lm_head; scratch dropped
+                    params = copy_first_head_to_lm_head(params)
+                    params = {k: v for k, v in params.items()
+                              if not k.startswith("lm_heads_")}
                 losses.append(phase_losses)
             return params, jnp.concatenate(losses)
 
@@ -238,15 +324,25 @@ class FederatedEngine:
         for rnd in range(num_rounds):
             cids = [self.client_ids[i]
                     for i in rng.choice(k_total, size=m, replace=False)]
-            phases = []
+            phases, specs = [], []
             if sl < 1.0:  # unsupervised (pseudo-labeled) phase first
-                phases.append(self._client_round_batches(
-                    cids, rnd, source=self.client_unsup_examples))
+                if self.cfg.num_lms > 1:  # N-best multitask client update
+                    pseudo = self._round_pseudo_labels(cids, stage, rnd)
+                    data = self._client_round_batches(
+                        cids, rnd, source=self.client_unsup_examples, pseudo=pseudo)
+                    phases.append(data)
+                    specs.append(("mt", data[0].input_values.shape[1]))
+                else:  # plain CTC on teacher 1-best transcripts
+                    data = self._client_round_batches(
+                        cids, rnd, source=self.client_unsup_examples)
+                    phases.append(data)
+                    specs.append(("sup", data.input_values.shape[1]))
             if sl > 0.0:  # supervised phase
-                phases.append(self._client_round_batches(cids, rnd))
+                data = self._client_round_batches(cids, rnd)
+                phases.append(data)
+                specs.append(("sup", data.input_values.shape[1]))
             phases = tuple(phases)
-            steps = tuple(p.input_values.shape[1] for p in phases)
-            round_fn = self._get_round_fn(stage, steps)
+            round_fn = self._get_round_fn(stage, tuple(specs))
             rngs = jax.random.split(jax.random.PRNGKey(f.seed + 7919 * rnd), m)
             counts = jnp.asarray(
                 [len(self.client_examples[c]) for c in cids], dtype=jnp.float32)
@@ -268,7 +364,7 @@ class FederatedEngine:
         centralized_training -> ASRGlobalUpdate.update_weights)."""
         f = self.fcfg
         tr = Trainer(
-            self.cfg.replace(stage=stage), self.global_params,
+            self.cfg.replace(stage=stage, num_lms=1), self.global_params,
             self.public_examples, self.eval_examples, self.tokenizer,
             TrainerConfig(
                 num_epochs=f.global_ep if num_epochs is None else num_epochs,
@@ -291,7 +387,7 @@ class FederatedEngine:
         tr = self._eval_trainers.get(stage)
         if tr is None:
             tr = Trainer(
-                self.cfg.replace(stage=stage), self.global_params, [],
+                self.cfg.replace(stage=stage, num_lms=1), self.global_params, [],
                 self.eval_examples, self.tokenizer,
                 TrainerConfig(batch_size=self.fcfg.eval_batch_size,
                               eval_batch_size=self.fcfg.eval_batch_size,

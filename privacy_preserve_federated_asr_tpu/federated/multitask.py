@@ -122,21 +122,10 @@ def multitask_loss(
                    "ad_reversed": ad_rev, "ad_masked": ad, "am_softmax": div}
 
 
-def generate_pseudo_labels(
-    cfg: DACSConfig,
-    params: Any,
-    examples: Sequence[AsrExample],
-    tokenizer: CTCCharTokenizer,
-    num_lms: int,
-    batch_size: int = 16,
-    time_multiple: int = 16000,
-    seed: int = 0,
-) -> dict[str, list[tuple[str, list[int], float]]]:
-    """N stochastic decode passes per utterance -> N (transcript, label ids,
-    confidence) per path (reference gen_Ntranscripts / get_Embs,
-    ASRLocalUpdate_Multitask.py:131-225: same model run num_lms times, the
-    Gumbel mask sampling providing the variation; confidence = max softmax
-    probability over the utterance's logits)."""
+def make_pseudo_forward(cfg: DACSConfig):
+    """One jitted stochastic decode pass (Gumbel-masked logits -> greedy ids
+    + max-softmax confidence). Built once and reused across FL rounds — a
+    fresh jit wrapper per round would retrace."""
     model = DACSModel(cfg)
 
     @jax.jit
@@ -147,6 +136,27 @@ def generate_pseudo_labels(
         probs = jax.nn.softmax(out.logits.astype(jnp.float32), axis=-1)
         conf = jnp.max(probs * out.frame_mask[:, :, None], axis=(1, 2))
         return pred, conf
+
+    return forward
+
+
+def generate_pseudo_labels(
+    cfg: DACSConfig,
+    params: Any,
+    examples: Sequence[AsrExample],
+    tokenizer: CTCCharTokenizer,
+    num_lms: int,
+    batch_size: int = 16,
+    time_multiple: int = 16000,
+    seed: int = 0,
+    forward_fn=None,
+) -> dict[str, list[tuple[str, list[int], float]]]:
+    """N stochastic decode passes per utterance -> N (transcript, label ids,
+    confidence) per path (reference gen_Ntranscripts / get_Embs,
+    ASRLocalUpdate_Multitask.py:131-225: same model run num_lms times, the
+    Gumbel mask sampling providing the variation; confidence = max softmax
+    probability over the utterance's logits)."""
+    forward = forward_fn if forward_fn is not None else make_pseudo_forward(cfg)
 
     batcher = LengthBucketBatcher(examples, batch_size, time_multiple=time_multiple)
     result: dict[str, list[tuple[str, list[int], float]]] = {e.path: [] for e in examples}
@@ -172,6 +182,7 @@ def multitask_local_update(
     learning_rate: float | None = None,
     warmup_steps: int = 100,
     seed: int = 0,
+    rng: jax.Array | None = None,
 ) -> tuple[Any, list[float]]:
     """The reference's unsupervised N-best client update
     (ASRLocalUpdate_Multitask.update_weights_adapted :479-621), end to end:
@@ -232,8 +243,9 @@ def multitask_local_update(
         return DACSTrainState(step=state.step + 1, params=new_params,
                               opt_state=opt_state, rng=new_rng), metrics["loss"]
 
-    state = DACSTrainState(step=jnp.zeros((), jnp.int32), params=params,
-                           opt_state=tx.init(params), rng=jax.random.PRNGKey(seed))
+    state = DACSTrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+        rng=jax.random.PRNGKey(seed) if rng is None else rng)
     losses = []
     for ep in range(num_epochs):
         for b in batcher.epoch(epoch_seed=seed + ep):
@@ -265,12 +277,13 @@ def attach_pseudo_labels(
 ) -> list[AsrExample]:
     """Give each unlabeled example its 1-best pseudo transcript (for the
     plain single-head pipeline); full N-best sets ride alongside for the
-    multitask objective."""
+    multitask objective. Non-mutating: returns copies."""
+    import dataclasses as _dc
+
     out = []
     for e in examples:
         if e.path in pseudo and pseudo[e.path]:
             text, ids, _ = pseudo[e.path][0]
-            e.text = text
-            e.labels = np.asarray(ids, dtype=np.int32)
-            out.append(e)
+            out.append(_dc.replace(
+                e, text=text, labels=np.asarray(ids, dtype=np.int32)))
     return out

@@ -97,6 +97,56 @@ def make_train_step(
     return train_step
 
 
+def make_multitask_train_step(
+    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
+):
+    """Train step for the N-best multitask model (``cfg.num_lms > 1``):
+    head i trains on pseudo-transcript set i, CTC losses averaged over heads
+    (reference Data2VecAudioForCTCMultitask, ASRLocalUpdate_Multitask.py).
+
+    The scanned batch element is (DeviceBatch, labels_stack [N,B,L],
+    label_lengths_stack [N,B]). Same stop-gradient freezing as
+    make_train_step (lm_heads_* are trainable in stage 0).
+    """
+    from ..federated.multitask import multitask_loss
+
+    trainable = stage_trainable_predicate(cfg.stage)
+
+    def _freeze(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x if trainable(_path_strings(p))
+            else jax.lax.stop_gradient(x),
+            params,
+        )
+
+    def train_step(state: DACSTrainState, element):
+        batch, labels_stack, ll_stack = element
+        rngs, new_rng = state.next_rngs()
+
+        def loss_fn(params):
+            params = _freeze(params)
+            out = model.apply(
+                {"params": params}, batch.input_values, batch.input_lengths,
+                deterministic=False, backbone_deterministic=cfg.stage != 0,
+                rngs=rngs,
+            )
+            return multitask_loss(out, labels_stack, ll_stack,
+                                  batch.dementia_labels, cfg,
+                                  params["similar_fc"]["kernel"],
+                                  batch.sample_mask)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
 def make_eval_step(model: DACSModel, cfg: DACSConfig):
     def eval_step(params, batch: DeviceBatch):
         out = model.apply(

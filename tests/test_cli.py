@@ -93,6 +93,20 @@ def test_cli_federated_smoke(data_dir, tmp_path, capsys):
     assert "eval_wer" in out
 
 
+def test_cli_federated_multitask_semi_supervised(data_dir, tmp_path, capsys):
+    """The reference's --num_lms N-best semi-supervised FL flow
+    (federated_main.py --supervised_level 0.5, ASRLocalUpdate_Multitask)
+    runs end to end from the CLI; the unlabeled CSV doubles as ADReSSo."""
+    main(["federated", "-fl_st", "1", "--epochs", "1", "--num_users", "2",
+          "--local_ep", "1", "--global_ep", "1",
+          "--num_lms", "3", "--supervised_level", "0.5",
+          "--unsup_train_csv", str(data_dir / "train.csv"),
+          "-model_out", str(tmp_path / "flmt"), "-log", "fl_mt.txt",
+          *_common(data_dir, tmp_path)])
+    out = capsys.readouterr().out
+    assert "eval_wer" in out
+
+
 def test_cli_text_branch(data_dir, tmp_path, capsys):
     # reuse the extract artifacts pipeline: train tiny then extract
     main(["train", "--epochs", "1", "-st", "0",

@@ -222,3 +222,62 @@ def test_engine_eval_step_cached_across_rounds():
     assert set(ev1) == set(ev2) and np.isfinite(ev2["eval_loss"])
     # params swap actually takes effect: post-round eval sees the new params
     assert ev1["eval_loss"] != ev2["eval_loss"]
+
+
+def _mt_engine(sl, num_lms=3, seed=0, warmup=1):
+    cfg = _tiny_cfg(stage=0).replace(num_lms=num_lms)
+    params = init_dacs_params(cfg.replace(num_lms=1), jax.random.PRNGKey(42))
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, batch_size=2,
+        time_multiple=3200, seed=seed, warmup_steps=warmup,
+        supervised_level=sl)
+    return FederatedEngine(
+        cfg, fcfg, {0: _examples(4, seed=1), 1: _examples(4, seed=2)},
+        _examples(4, seed=3), None, TOK, params,
+        client_unsup_examples={0: _examples(4, seed=4), 1: _examples(2, seed=5)})
+
+
+def test_engine_multitask_round_smoke():
+    """num_lms>1 + supervised_level<1: the round runs the N-best multitask
+    phase (reference ASRLocalUpdate_Multitask dispatched per round) and the
+    global params keep their original structure (no lm_heads_* scratch)."""
+    eng = _mt_engine(sl=0.5)
+    before = jax.tree.map(np.array, eng.global_params)
+    after = eng.run_rounds(stage=0, num_rounds=1)
+    assert set(after.keys()) == set(before.keys())
+    assert not np.allclose(np.asarray(after["lm_head"]["kernel"]),
+                           before["lm_head"]["kernel"])
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(after))
+
+
+def test_engine_multitask_matches_standalone_local_update():
+    """At K=1/frac=1/stage0/sl=0, one engine round must reproduce the
+    standalone multitask_local_update (same pseudo labels, same optimizer,
+    same rng stream) up to the dropped lm_heads_* scratch keys."""
+    from privacy_preserve_federated_asr_tpu.federated.multitask import (
+        multitask_local_update)
+
+    cfg = _tiny_cfg(stage=0).replace(num_lms=2)
+    params = init_dacs_params(cfg.replace(num_lms=1), jax.random.PRNGKey(7))
+    seed = 3
+    unsup = _examples(4, seed=11)
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=1, frac=1.0, local_ep=1, batch_size=2,
+        time_multiple=3200, seed=seed, warmup_steps=1, supervised_level=0.0)
+    eng = FederatedEngine(cfg, fcfg, {0: _examples(4, seed=1)},
+                          _examples(4, seed=3), None, TOK, params,
+                          client_unsup_examples={0: unsup})
+    got = eng.run_rounds(stage=0, num_rounds=1)
+
+    # reproduce the engine's per-client rng derivation for round 0, client 0
+    r0 = jax.random.split(jax.random.PRNGKey(seed + 7919 * 0), 1)[0]
+    _, sub = jax.random.split(r0)
+    want, losses = multitask_local_update(
+        cfg, params, unsup, TOK, num_epochs=1, batch_size=2,
+        time_multiple=3200, warmup_steps=1, seed=seed, rng=sub)
+    want = {k: v for k, v in want.items() if not k.startswith("lm_heads_")}
+    assert losses
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
+        got, want)
