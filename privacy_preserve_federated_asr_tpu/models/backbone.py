@@ -188,17 +188,21 @@ class Attention(nn.Module):
         if impl == "auto":
             impl = "pallas" if t >= 1024 else "xla"
         if impl == "pallas":
-            # NOTE: the fused kernel does not implement attention-prob
-            # dropout; when selected, that dropout is skipped (the other
-            # dropouts still apply). At T >= ~1024 XLA's materialized
-            # [T, T] attention stops compiling on v5e, so this trade is
-            # what makes long utterances trainable at all.
+            # The fused kernel implements attention-prob dropout in-kernel
+            # (counter-based hash mask, regenerated in the recompute
+            # backward), so impl choice does not change training semantics.
+            # At T >= ~1024 XLA's materialized [T, T] attention stops
+            # compiling on v5e; this kernel is what makes long utterances
+            # trainable at all.
             from ..ops.attention import multihead_attention
 
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            rng = self.make_rng("dropout") if rate > 0.0 else None
             q = proj("q_proj")(x).reshape(b, t, h, d)
             k = proj("k_proj")(x).reshape(b, t, h, d)
             v = proj("v_proj")(x).reshape(b, t, h, d)
-            ctx = multihead_attention(q, k, v, key_mask, impl="pallas")
+            ctx = multihead_attention(q, k, v, key_mask, impl="pallas",
+                                      dropout_rate=rate, dropout_rng=rng)
             return proj("out_proj")(ctx.reshape(b, t, cfg.hidden_size))
 
         q = proj("q_proj")(x) * (d**-0.5)
