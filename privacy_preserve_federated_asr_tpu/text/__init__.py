@@ -7,6 +7,13 @@ from .prompts import (
     load_sensitive_dict,
     summary_prompt,
 )
+from .llm_client import (
+    LLMClientConfig,
+    OpenAIChatClient,
+    OpenAIEmbeddingsClient,
+    make_embed_fn,
+    make_llm_fn,
+)
 from .bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
 from .classifier import TextClassifier, TextClassifierConfig, TextTrainer
 
@@ -20,6 +27,11 @@ __all__ = [
     "assessment_prompt",
     "load_sensitive_dict",
     "summary_prompt",
+    "LLMClientConfig",
+    "OpenAIChatClient",
+    "OpenAIEmbeddingsClient",
+    "make_embed_fn",
+    "make_llm_fn",
     "BertConfigT",
     "BertEncoder",
     "WordPieceTokenizer",

@@ -1,0 +1,124 @@
+"""Perf lab: sequential timing of train-step variants on the real TPU.
+
+Run from the repo root (one process at a time on this box):
+    python scripts/perf_lab.py batch        # batch scaling
+    python scripts/perf_lab.py attn         # attention impl microbench
+Prints one JSON line per config as it completes.
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_fn(fn, args, warmup=3, iters=10, flush=lambda out: None):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    flush(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    flush(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
+                     label_len=48):
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import DeviceBatch, make_train_step
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        create_train_state, init_dacs_params)
+
+    samples = int(16000 * seconds)
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(
+            final_dropout=0.0, attention_impl=attention_impl),
+        stage=0, ad_loss="recall")
+    model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    tx = make_optimizer(jax.eval_shape(lambda: params), stage=0,
+                        warmup_steps=100, total_steps=10_000)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(int(0.7 * samples), samples, size=batch_size)
+    lengths[0] = samples
+    iv = rng.normal(0, 1, size=(batch_size, samples)).astype(np.float32)
+    for i, ln in enumerate(lengths):
+        iv[i, ln:] = 0.0
+    batch = DeviceBatch(
+        input_values=jnp.asarray(iv),
+        input_lengths=jnp.asarray(lengths, dtype=jnp.int32),
+        labels=jnp.asarray(rng.integers(4, 32, (batch_size, label_len)),
+                           dtype=jnp.int32),
+        label_lengths=jnp.full((batch_size,), label_len, dtype=jnp.int32),
+        dementia_labels=jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
+        sample_mask=jnp.ones((batch_size,), jnp.float32))
+
+    holder = {"state": state}
+
+    def run(b):
+        holder["state"], m = step(holder["state"], b)
+        return m
+
+    dt = time_fn(run, (batch,), flush=lambda m: float(m["loss"]))
+    return {"config": f"train B={batch_size} T={seconds}s attn={attention_impl}",
+            "step_ms": round(dt * 1000, 2),
+            "utt_per_sec": round(batch_size / dt, 1)}
+
+
+def bench_attention(t, impl, block=128, b=16, h=16, d=64, rate=0.0):
+    from privacy_preserve_federated_asr_tpu.ops.attention import multihead_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (b, t, h, d)).astype(np.float32),
+                           dtype=jnp.bfloat16) for _ in range(3))
+    mask = jnp.ones((b, t), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    def loss(q, k, v):
+        y = multihead_attention(q, k, v, mask, impl=impl, block=block,
+                                dropout_rate=rate,
+                                dropout_rng=key if rate > 0 else None)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    dt = time_fn(g, (q, k, v), flush=lambda out: float(out[0][0, 0, 0, 0]))
+    return {"config": f"attn T={t} impl={impl} blk={block} rate={rate}",
+            "ms": round(dt * 1000, 3)}
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "batch"
+    if mode == "batch":
+        for bs in (16, 32, 64):
+            print(json.dumps(bench_train_step(bs)), flush=True)
+    elif mode == "attn":
+        for t in (256, 512, 1024):
+            for impl, block in (("xla", 0), ("pallas", 128), ("pallas", 256),
+                                ("pallas", 512)):
+                if impl == "pallas" and block > t:
+                    continue
+                print(json.dumps(bench_attention(t, impl, block or 128)),
+                      flush=True)
+        print(json.dumps(bench_attention(256, "pallas", 128, rate=0.1)), flush=True)
+    elif mode == "one":
+        print(json.dumps(bench_train_step(int(sys.argv[2]),
+                                          attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto")),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -226,3 +226,143 @@ def test_embed_sessions_batches_and_pads():
         tok, texts, batch_size=2)
     assert out.shape == (3, cfg.hidden_size)
     assert np.isfinite(out).all()
+
+
+# ---------------------------------------------------------------------------
+# LLM client adapter vs a local stub server (no egress needed)
+# ---------------------------------------------------------------------------
+
+class _StubOpenAI:
+    """Minimal OpenAI/Azure-schema HTTP endpoint for unit tests: records
+    requests, can fail the first N calls with 429 to exercise retries."""
+
+    def __init__(self, fail_first=0):
+        import http.server
+        import threading
+
+        stub = self
+        stub.requests = []
+        stub.fail_remaining = fail_first
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                import json as _json
+                body = _json.loads(
+                    self.rfile.read(int(self.headers["Content-Length"])))
+                stub.requests.append(
+                    {"path": self.path, "body": body,
+                     "headers": {k.lower(): v for k, v in self.headers.items()}})
+                if stub.fail_remaining > 0:
+                    stub.fail_remaining -= 1
+                    self.send_response(429)
+                    self.send_header("Retry-After", "0")
+                    self.end_headers()
+                    return
+                if "embeddings" in self.path:
+                    data = [{"index": i, "embedding": [float(len(t)), 1.0]}
+                            for i, t in enumerate(body["input"])]
+                    out = {"data": data}
+                else:
+                    last = body["messages"][-1]["content"]
+                    out = {"choices": [{"message": {
+                        "role": "assistant",
+                        "content": f"SUMMARY({len(body['messages'])}): {last[:20]}"}}]}
+                payload = _json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+        self.server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server.server_address[1]}"
+        threading.Thread(target=self.server.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.server.shutdown()
+
+
+def test_llm_client_azure_schema_and_few_shot():
+    from privacy_preserve_federated_asr_tpu.text import (
+        LLMClientConfig, make_llm_fn)
+
+    stub = _StubOpenAI()
+    try:
+        cfg = LLMClientConfig(
+            endpoint=stub.url, api_key="k1", model="gpt4dep",
+            api_type="azure", system_prompt="You are a psychologist.",
+            few_shot=[("example in", "example out")], backoff=0.01)
+        out = make_llm_fn(cfg)("PATIENT TRANSCRIPT")
+        assert out.startswith("SUMMARY(4)")  # system + 2 few-shot + user
+        req = stub.requests[-1]
+        assert req["path"].startswith("/openai/deployments/gpt4dep/chat")
+        assert "api-version=" in req["path"]
+        assert req["headers"]["api-key"] == "k1"
+        roles = [m["role"] for m in req["body"]["messages"]]
+        assert roles == ["system", "user", "assistant", "user"]
+    finally:
+        stub.close()
+
+
+def test_llm_client_openai_schema_retries_and_embeddings():
+    import numpy as np
+    import pytest as _pytest
+    import urllib.error
+
+    from privacy_preserve_federated_asr_tpu.text import (
+        LLMClientConfig, make_embed_fn, make_llm_fn)
+
+    stub = _StubOpenAI(fail_first=2)
+    try:
+        cfg = LLMClientConfig(endpoint=stub.url, api_key="sk", model="gpt-4o",
+                              api_type="openai", max_retries=3, backoff=0.01)
+        out = make_llm_fn(cfg)("hello")
+        assert "hello" in out and len(stub.requests) == 3  # 2 x 429 + success
+        req = stub.requests[-1]
+        assert req["path"] == "/v1/chat/completions"
+        assert req["headers"]["authorization"] == "Bearer sk"
+        assert req["body"]["model"] == "gpt-4o"
+
+        emb = make_embed_fn(cfg)(["a", "abc"])
+        assert emb.shape == (2, 2) and emb.dtype == np.float32
+        np.testing.assert_allclose(emb[:, 0], [1.0, 3.0])
+
+        # retries exhausted -> the HTTP error surfaces
+        stub.fail_remaining = 99
+        bad = LLMClientConfig(endpoint=stub.url, api_key="sk",
+                              api_type="openai", max_retries=1, backoff=0.01)
+        with _pytest.raises(urllib.error.HTTPError):
+            make_llm_fn(bad)("x")
+    finally:
+        stub.close()
+
+
+def test_llm_client_plugs_into_summarizers():
+    """End-to-end: the HTTP client works as SessionSummarizer.llm_fn and
+    RAGSummarizer.embed_fn/llm_fn by config alone (VERDICT Next #7)."""
+    from privacy_preserve_federated_asr_tpu.text import LLMClientConfig, make_embed_fn, make_llm_fn
+    from privacy_preserve_federated_asr_tpu.text.summarize import (
+        RAGSummarizer, SessionSummarizer)
+
+    stub = _StubOpenAI()
+    try:
+        cfg = LLMClientConfig(endpoint=stub.url, api_key="k", api_type="openai",
+                              backoff=0.01)
+        s = SessionSummarizer(llm_fn=make_llm_fn(cfg))
+        out = s.summarize("S001", "THE DOG SAT ON THE MAT")
+        assert out.startswith("SUMMARY")
+
+        rag = RAGSummarizer(
+            llm_fn=make_llm_fn(cfg), embed_fn=make_embed_fn(cfg),
+            corpus_texts=["ref one", "ref two longer"],
+            corpus_summaries=["sum1", "sum2"], k=1)
+        out2 = rag.summarize("S002", "ANOTHER SESSION")
+        assert out2.startswith("SUMMARY")
+        # the RAG prompt carried a retrieved few-shot transcript
+        chat_reqs = [r for r in stub.requests if "chat" in r["path"]]
+        assert "Transcript:" in chat_reqs[-1]["body"]["messages"][-1]["content"]
+    finally:
+        stub.close()
