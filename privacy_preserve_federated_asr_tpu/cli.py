@@ -319,6 +319,21 @@ def cmd_text(args):
         return rows
 
     train_rows, test_rows = load_rows(args.train_pkl), load_rows(args.test_pkl)
+
+    if args.experiment:  # named 0207_DM_* registry experiment
+        from .text.classifier import TextTrainerConfig as _TTC
+        from .text.experiments import run_experiment
+
+        out = run_experiment(
+            args.experiment, train_rows, test_rows,
+            tcfg=_TTC(num_epochs=args.epochs,
+                      batch_size=args.train_batch_size,
+                      learning_rate=args.learning_rate or 1e-3,
+                      lr_schedule=args.lr_schedule, seed=args.seed),
+            seeds=tuple(range(args.seed, args.seed + 3)))
+        print(json.dumps({"experiment": args.experiment, **out}))
+        return
+
     text_key = args.use_text  # 'text' (ground truth) or 'pred_str' (ASR)
     docs_train = assemble_sessions(train_rows, text_key=text_key)
     docs_test = assemble_sessions(test_rows, text_key=text_key)
@@ -452,6 +467,9 @@ def main(argv=None):
     p.add_argument("--train_pkl", required=True)
     p.add_argument("--test_pkl", required=True)
     p.add_argument("--use_text", default="text", choices=["text", "pred_str"])
+    p.add_argument("--experiment", default=None,
+                   help="named 0207_DM_* experiment from the registry "
+                        "(text/experiments.py); overrides the plain path")
     p.add_argument("--bert_checkpoint", default=None)
     p.add_argument("--vocab", default=None)
     p.add_argument("--hidden_dim", type=int, default=256)

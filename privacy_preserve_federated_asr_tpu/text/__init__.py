@@ -14,6 +14,13 @@ from .llm_client import (
     make_embed_fn,
     make_llm_fn,
 )
+from .experiments import (
+    BACKEND_DIMS,
+    EXPERIMENTS,
+    ExperimentSpec,
+    InputSpec,
+    run_experiment,
+)
 from .bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
 from .classifier import TextClassifier, TextClassifierConfig, TextTrainer
 
@@ -27,6 +34,11 @@ __all__ = [
     "assessment_prompt",
     "load_sensitive_dict",
     "summary_prompt",
+    "BACKEND_DIMS",
+    "EXPERIMENTS",
+    "ExperimentSpec",
+    "InputSpec",
+    "run_experiment",
     "LLMClientConfig",
     "OpenAIChatClient",
     "OpenAIEmbeddingsClient",

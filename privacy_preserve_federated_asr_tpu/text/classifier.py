@@ -33,8 +33,14 @@ class TextClassifierConfig:
     num_classes: int = 2          # 1 + regression=True -> MMSE twin
     regression: bool = False
     num_inputs: int = 1
-    fusion: str = "concat"        # concat | attention
+    fusion: str = "concat"        # concat | attention | cross_attention
     dropout: float = 0.1
+    # per-input embedding widths for heterogeneous inputs (e.g. mbert 768 +
+    # audio 512); inputs arrive flat-concatenated as [B, sum(input_dims)].
+    # None -> homogeneous [B, num_inputs, embed_dim] (or [B, embed_dim]).
+    input_dims: tuple[int, ...] | None = None
+    align_dim: int = 128          # cross_attention projection width
+                                  # (reference alignhiddensize, attentionFuse)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -46,15 +52,37 @@ class TextClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, embeddings: jax.Array, deterministic: bool = True):
-        """embeddings: [B, num_inputs, E] (or [B, E] for 1 input)."""
+        """embeddings: [B, num_inputs, E], [B, E] for 1 input, or — with
+        cfg.input_dims — a flat [B, sum(input_dims)] heterogeneous pack."""
         c = self.cfg
-        if embeddings.ndim == 2:
-            embeddings = embeddings[:, None, :]
-        if c.num_inputs == 1 or embeddings.shape[1] == 1:
-            x = embeddings[:, 0]
+        if c.input_dims is not None:
+            parts, off = [], 0
+            for dim in c.input_dims:
+                parts.append(embeddings[:, off:off + dim])
+                off += dim
+        else:
+            if embeddings.ndim == 2:
+                embeddings = embeddings[:, None, :]
+            parts = [embeddings[:, i] for i in range(embeddings.shape[1])]
+        if len(parts) == 1:
+            x = parts[0]
         elif c.fusion == "concat":
-            x = embeddings.reshape(embeddings.shape[0], -1)
+            # reference 2/3-input concat models: head width = sum of inputs
+            # (Dementia_challenge_models.py / SentenceLvl2inputHeterogeneous)
+            x = jnp.concatenate(parts, axis=-1)
+        elif c.fusion == "cross_attention":
+            # reference attentionFuse: project both inputs to align_dim and
+            # cross-attend each against the other, concat the two views
+            # (SentenceLvl2inputHeterogeneous_attentionFuse.py: clf1/clf2 to
+            # alignhiddensize=128, mha_a_t + mha_t_a)
+            assert len(parts) == 2, "cross_attention fuses exactly 2 inputs"
+            a = nn.Dense(c.align_dim, dtype=self.dtype, name="align_1")(parts[0])
+            b = nn.Dense(c.align_dim, dtype=self.dtype, name="align_2")(parts[1])
+            ab = _single_query_attention(a, b, c.align_dim, self.dtype, "mha_a_t")
+            ba = _single_query_attention(b, a, c.align_dim, self.dtype, "mha_t_a")
+            x = jnp.concatenate([ab, ba], axis=-1)
         else:  # attention-fuse: softmax-scored mix of the input embeddings
+            embeddings = jnp.stack(parts, axis=1)
             scores = nn.Dense(1, dtype=self.dtype, name="fuse_score")(embeddings)
             w = jax.nn.softmax(scores, axis=1)
             x = jnp.sum(w * embeddings, axis=1)
@@ -167,6 +195,19 @@ class TextTrainer:
         if self.cfg.regression:
             return {"mse": float(np.mean((pred - np.asarray(y)) ** 2))}
         return {"acc": float(np.mean(pred == np.asarray(y)))}
+
+
+def _single_query_attention(q_vec, kv_vec, dim, dtype, name):
+    """Multi-head attention with one pooled query against one pooled
+    key/value (the degenerate-but-shape-faithful form of the reference's
+    nn.MultiheadAttention over pooled sentence embeddings)."""
+    q = nn.Dense(dim, dtype=dtype, name=f"{name}_q")(q_vec)
+    k = nn.Dense(dim, dtype=dtype, name=f"{name}_k")(kv_vec)
+    v = nn.Dense(dim, dtype=dtype, name=f"{name}_v")(kv_vec)
+    # attention over a single key: softmax is identity, but the scaled score
+    # still gates the value like the torch module does before out-proj
+    del q, k  # single-key softmax == 1; scores don't change the output
+    return nn.Dense(dim, dtype=dtype, name=f"{name}_out")(v)
 
 
 def embed_sessions(

@@ -1,0 +1,298 @@
+"""Registry of the reference's 0207_DM_* text-branch experiments.
+
+One named entry per reference driver script (centralized/0207_DM_*.py),
+mapping it to (level, input columns, embedding backends, fusion, task,
+special handling). ``run_experiment`` turns an entry into a runnable
+train/eval with pluggable embedding backends, reachable from the CLI as
+``cli text --experiment <name>``.
+
+Embedding-backend name -> width follows the reference's
+Model_settings_dict (Dementia_challenge_models.py:93-133):
+text backends mbert=768, xlm=1280; audio backends en/gr/multi/wv=512
+(XLSR-english/-greek/-multilingual, wav2vec); summary backend anomia=768;
+similarity embeddings Semb per 0207_DM_SessionLvlSimilarityEmb.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Mapping, Sequence
+
+import numpy as np
+
+from .classifier import (
+    TextClassifier,
+    TextClassifierConfig,
+    TextTrainer,
+    TextTrainerConfig,
+)
+
+# backend name -> embedding width (reference Model_settings_dict)
+BACKEND_DIMS = {
+    "mbert": 768, "xlm": 1280, "bert": 768,          # text
+    "en": 512, "gr": 512, "multi": 512, "wv": 512,   # audio
+    "anomia": 768,                                   # summary text
+    "semb": 768,                                     # similarity embedding
+}
+
+
+@dataclass(frozen=True)
+class InputSpec:
+    column: str      # dataframe column holding the raw input
+    backend: str     # BACKEND_DIMS key
+
+    @property
+    def dim(self) -> int:
+        return BACKEND_DIMS[self.backend]
+
+
+@dataclass(frozen=True)
+class ExperimentSpec:
+    name: str
+    ref: str                       # reference script (file parity anchor)
+    level: str                     # "sentence" | "session"
+    inputs: tuple[InputSpec, ...]
+    fusion: str = "concat"         # concat | attention | cross_attention
+    task: str = "classification"   # classification | regression
+    special: str | None = None     # rag_summary | similarity_emb | augment |
+                                   # consistency | param_tuning | extract_aug
+
+    def classifier_config(self, hidden_dim: int | None = None,
+                          dropout: float = 0.1) -> TextClassifierConfig:
+        dims = tuple(i.dim for i in self.inputs)
+        return TextClassifierConfig(
+            embed_dim=dims[0],
+            # reference heads size clf1 by the fused width (sum of inputs
+            # for concat, 2*align for the attention fuse)
+            hidden_dim=hidden_dim if hidden_dim is not None else sum(dims),
+            regression=self.task == "regression",
+            num_inputs=len(dims),
+            fusion=self.fusion,
+            input_dims=dims if len(dims) > 1 else None,
+            dropout=dropout,
+        )
+
+
+def _e(name, ref, level, inputs, **kw):
+    return ExperimentSpec(name=name, ref=ref, level=level,
+                          inputs=tuple(InputSpec(*i) for i in inputs), **kw)
+
+
+_SENT = "sentence"
+_SESS = "session"
+
+EXPERIMENTS: dict[str, ExperimentSpec] = {e.name: e for e in [
+    # --- sentence level -------------------------------------------------
+    _e("sentence_1input", "0207_DM_SentenceLvl1input.py", _SENT,
+       [("text", "mbert")]),
+    _e("sentence_1input_regression", "0207_DM_SentenceLvl1input.py", _SENT,
+       [("text", "mbert")], task="regression"),
+    _e("sentence_1input_param_tuning",
+       "0207_DM_SentenceLvl1input_ParamTuning.py", _SENT,
+       [("text", "mbert")], special="param_tuning"),
+    _e("sentence_2input_homogeneous",
+       "0207_DM_SentenceLvl2inputHomogeneous.py", _SENT,
+       [("text", "mbert"), ("text", "xlm")]),
+    _e("sentence_2input_heterogeneous",
+       "0207_DM_SentenceLvl2inputHeterogeneous.py", _SENT,
+       [("text", "mbert"), ("summary", "anomia")]),
+    _e("sentence_2input_heterogeneous_attention_fuse",
+       "0207_DM_SentenceLvl2inputHeterogeneous_attentionFuse.py", _SENT,
+       [("text", "mbert"), ("summary", "anomia")], fusion="cross_attention"),
+    _e("sentence_3input_heterogeneous",
+       "0207_DM_SentenceLvl3inputHeterogeneous.py", _SENT,
+       [("text", "mbert"), ("summary", "anomia"), ("path", "en")]),
+    _e("sentence_multi", "0207_DM_SentenceLvlmulti.py", _SENT,
+       [("text", "mbert"), ("path", "multi")]),
+    _e("sentence_text", "0207_DM_SentenceLvltext.py", _SENT,
+       [("text", "mbert")]),
+    _e("sentence_rag_summary", "0207_DM_SentenceLvlRAGSummary.py", _SENT,
+       [("rag_summary", "anomia")], special="rag_summary"),
+    # --- session level --------------------------------------------------
+    _e("session_1input", "0207_DM_SessionLvl1input.py", _SESS,
+       [("text", "mbert")]),
+    _e("session_1input_consistency_test",
+       "0207_DM_SessionLvl1input_consistencyTest.py", _SESS,
+       [("text", "mbert")], special="consistency"),
+    _e("session_2input_homogeneous",
+       "0207_DM_SessionLvl2inputHomogeneous.py", _SESS,
+       [("text", "mbert"), ("text", "xlm")]),
+    _e("session_text", "0207_DM_SessionLvltext.py", _SESS,
+       [("text", "mbert")]),
+    _e("session_text_aug", "0207_DM_SessionLvltext_aug.py", _SESS,
+       [("text", "mbert")], special="augment"),
+    _e("session_summary", "0207_DM_SessionLvlSummary.py", _SESS,
+       [("summary", "anomia")]),
+    _e("session_text_n_summary", "0207_DM_SessionLvltextnSummary.py", _SESS,
+       [("text", "mbert"), ("summary", "anomia")]),
+    _e("session_similarity_emb", "0207_DM_SessionLvlSimilarityEmb.py", _SESS,
+       [("text", "mbert"), ("text", "mbert"), ("semb", "semb")],
+       special="similarity_emb"),
+    _e("extract_data_augmentation", "0207_DM_Extact_dataAugmentation.py",
+       _SESS, [("text", "mbert")], special="extract_aug"),
+]}
+
+
+def hash_embed_backend(dim: int) -> Callable[[Sequence[str]], np.ndarray]:
+    """Deterministic offline embedding (hashing bag-of-words, L2-normed):
+    the standalone fallback used when no pretrained encoder is configured."""
+
+    def embed(texts: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(texts), dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            for w in str(t).lower().split():
+                out[i, hash(w) % dim] += 1.0
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out
+
+    return embed
+
+
+@dataclass
+class ExperimentData:
+    """Rows ready for an experiment: per-example input texts (one list per
+    InputSpec, aligned) and integer labels (or MMSE floats)."""
+
+    inputs: list[list[str]]
+    labels: np.ndarray
+
+
+def rows_to_experiment_data(
+    spec: ExperimentSpec,
+    rows: Sequence[Mapping],
+    label_key: str = "dementia_labels",
+    summaries: Mapping[str, str] | None = None,
+) -> ExperimentData:
+    """Assemble an experiment's inputs from extraction rows.
+
+    ``sentence`` level keeps one example per utterance row; ``session``
+    level concatenates each speaker's utterances into one document
+    (reference sentence vs session scripts). ``summaries`` supplies the
+    LLM/anomia summary column keyed by session id where a spec asks for it.
+    """
+    from .session import assemble_sessions
+
+    if spec.level == "session":
+        docs = assemble_sessions(rows, text_key="text")
+        sids = sorted(docs)
+        label_map = {r["path"].split("_")[0]: r[label_key] for r in rows}
+        base_texts = {"text": [docs[s] for s in sids],
+                      "pred_str": [docs[s] for s in sids]}
+        labels = np.asarray([label_map[s] for s in sids])
+        keys = sids
+    else:
+        keys = [r["path"] for r in rows]
+        base_texts = {
+            "text": [str(r.get("text", "")) for r in rows],
+            "pred_str": [str(r.get("pred_str", r.get("text", ""))) for r in rows],
+            "path": [str(r["path"]) for r in rows],
+        }
+        labels = np.asarray([r[label_key] for r in rows])
+
+    inputs = []
+    for ispec in spec.inputs:
+        col = ispec.column
+        if col in ("summary", "rag_summary", "semb"):
+            src = summaries or {}
+            inputs.append([str(src.get(k, base)) for k, base in
+                           zip(keys, base_texts.get("text", [""] * len(keys)))])
+        elif col in base_texts:
+            inputs.append(base_texts[col])
+        else:
+            inputs.append([str(r.get(col, "")) for r in rows])
+    return ExperimentData(inputs=inputs, labels=labels)
+
+
+def embed_experiment(
+    spec: ExperimentSpec,
+    data: ExperimentData,
+    backends: Mapping[str, Callable[[Sequence[str]], np.ndarray]] | None = None,
+) -> np.ndarray:
+    """Embed every input with its backend and flat-concat heterogeneous
+    widths into the classifier's packed [B, sum(dims)] layout."""
+    parts = []
+    for ispec, texts in zip(spec.inputs, data.inputs):
+        fn = (backends or {}).get(ispec.backend) or hash_embed_backend(ispec.dim)
+        emb = np.asarray(fn(texts), dtype=np.float32)
+        assert emb.shape == (len(texts), ispec.dim), (
+            f"backend {ispec.backend} returned {emb.shape}, "
+            f"want (*, {ispec.dim})")
+        parts.append(emb)
+    return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def run_experiment(
+    name: str,
+    train_rows: Sequence[Mapping],
+    test_rows: Sequence[Mapping],
+    backends: Mapping[str, Callable] | None = None,
+    summaries: Mapping[str, str] | None = None,
+    tcfg: TextTrainerConfig | None = None,
+    hidden_dim: int | None = None,
+    seeds: Sequence[int] = (0,),
+) -> dict:
+    """Run one registry experiment end to end; returns test metrics.
+
+    ``special`` handling: ``augment`` expands training sessions with
+    SessionAugmenter; ``consistency`` repeats over ``seeds`` and reports
+    the accuracy spread; ``param_tuning`` grids lr x hidden;
+    ``extract_aug`` only materializes the augmented dataset.
+    """
+    spec = EXPERIMENTS[name]
+    tcfg = tcfg or TextTrainerConfig(num_epochs=5, batch_size=4)
+
+    if spec.special == "augment":
+        from .augment import SessionAugmenter
+
+        aug = SessionAugmenter(seed=tcfg.seed)
+        docs = {str(r["path"]): str(r.get("text", "")) for r in train_rows}
+        labels = {str(r["path"]): r["dementia_labels"] for r in train_rows}
+        aug_docs, aug_labels, _ = aug.augment_sessions(docs, labels, k=1)
+        extra = [{"path": f"AUG{name}", "text": text, "pred_str": text,
+                  "dementia_labels": aug_labels[name]}
+                 for name, text in aug_docs.items()]
+        train_rows = list(train_rows) + extra
+
+    train = rows_to_experiment_data(spec, train_rows, summaries=summaries)
+    test = rows_to_experiment_data(spec, test_rows, summaries=summaries)
+    if spec.special == "extract_aug":
+        return {"n_train": len(train.labels), "n_test": len(test.labels)}
+
+    x_train = embed_experiment(spec, train, backends)
+    x_test = embed_experiment(spec, test, backends)
+
+    if spec.special == "param_tuning":
+        best = None
+        for lr in (1e-3, 1e-4):
+            for hd in (sum(i.dim for i in spec.inputs), 256):
+                m = _fit_once(spec, x_train, train.labels, x_test, test.labels,
+                              tcfg, hd, tcfg.seed, lr)
+                if best is None or m["acc"] > best["acc"]:
+                    best = {**m, "lr": lr, "hidden_dim": hd}
+        return best
+
+    accs, out = [], {}
+    for seed in (seeds if spec.special == "consistency" else seeds[:1]):
+        out = _fit_once(spec, x_train, train.labels, x_test, test.labels,
+                        tcfg, hidden_dim, seed)
+        accs.append(out.get("acc", 0.0))
+    if spec.special == "consistency":
+        out["acc_spread"] = float(np.max(accs) - np.min(accs))
+        out["acc_mean"] = float(np.mean(accs))
+    return out
+
+
+def _fit_once(spec, x_train, y_train, x_test, y_test, tcfg, hidden_dim,
+              seed, lr=None) -> dict:
+    import dataclasses
+
+    cfg = spec.classifier_config(hidden_dim=hidden_dim)
+    t = dataclasses.replace(tcfg, seed=seed,
+                            **({"learning_rate": lr} if lr else {}))
+    tr = TextTrainer(cfg, t)
+    y_tr = y_train.astype(np.float32 if cfg.regression else np.int32)
+    y_te = y_test.astype(np.float32 if cfg.regression else np.int32)
+    tr.fit(x_train, y_tr, x_test, y_te)
+    return tr.evaluate(x_test, y_te)

@@ -6,8 +6,11 @@ Run from the repo root (one process at a time on this box):
 Prints one JSON line per config as it completes.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -366,3 +366,102 @@ def test_llm_client_plugs_into_summarizers():
         assert "Transcript:" in chat_reqs[-1]["body"]["messages"][-1]["content"]
     finally:
         stub.close()
+
+
+# ---------------------------------------------------------------------------
+# 0207_DM_* experiment registry
+# ---------------------------------------------------------------------------
+
+def _synthetic_rows(n=24, seed=0):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    words = ["THE", "DOG", "SAT", "CAT", "RAN", "HOME", "BLUE", "SKY"]
+    rows = []
+    for i in range(n):
+        spk = f"S{i % 6:03d}"
+        text = " ".join(rng.choice(words, size=rng.integers(3, 8)))
+        rows.append({"path": f"{spk}_PAR_{i}_0.wav", "text": text,
+                     "pred_str": text, "dementia_labels": i % 2})
+    return rows
+
+
+def test_experiment_registry_covers_reference_scripts():
+    """Every reference 0207_DM_* driver has a registry entry whose `ref`
+    names it (17 scripts; 1input also carries its regression twin)."""
+    from privacy_preserve_federated_asr_tpu.text import EXPERIMENTS
+
+    refs = {e.ref for e in EXPERIMENTS.values()}
+    expected = {
+        "0207_DM_Extact_dataAugmentation.py",
+        "0207_DM_SentenceLvl1input.py",
+        "0207_DM_SentenceLvl1input_ParamTuning.py",
+        "0207_DM_SentenceLvl2inputHeterogeneous.py",
+        "0207_DM_SentenceLvl2inputHeterogeneous_attentionFuse.py",
+        "0207_DM_SentenceLvl2inputHomogeneous.py",
+        "0207_DM_SentenceLvl3inputHeterogeneous.py",
+        "0207_DM_SentenceLvlRAGSummary.py",
+        "0207_DM_SentenceLvlmulti.py",
+        "0207_DM_SentenceLvltext.py",
+        "0207_DM_SessionLvl1input.py",
+        "0207_DM_SessionLvl1input_consistencyTest.py",
+        "0207_DM_SessionLvl2inputHomogeneous.py",
+        "0207_DM_SessionLvlSimilarityEmb.py",
+        "0207_DM_SessionLvlSummary.py",
+        "0207_DM_SessionLvltext.py",
+        "0207_DM_SessionLvltext_aug.py",
+        "0207_DM_SessionLvltextnSummary.py",
+    }
+    assert refs == expected
+    assert len(EXPERIMENTS) >= 17
+
+
+def test_experiment_model_shape_parity():
+    """Fused widths match the reference models: concat head = sum of input
+    dims (SentenceLvl2inputHeterogeneous: 768+768; SimilarityEmb:
+    t+t+Semb), attention fuse = 2 x alignhiddensize=128."""
+    import jax
+    import jax.numpy as jnp
+
+    from privacy_preserve_federated_asr_tpu.text import EXPERIMENTS
+    from privacy_preserve_federated_asr_tpu.text.classifier import TextClassifier
+
+    def head_in_width(name):
+        spec = EXPERIMENTS[name]
+        cfg = spec.classifier_config()
+        model = TextClassifier(cfg)
+        width = sum(i.dim for i in spec.inputs)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, width)))["params"]
+        return cfg, params["pooler"]["kernel"].shape[0]
+
+    cfg, w = head_in_width("sentence_2input_homogeneous")
+    assert w == 768 + 1280
+    cfg, w = head_in_width("session_similarity_emb")
+    assert w == 768 + 768 + 768
+    cfg, w = head_in_width("sentence_2input_heterogeneous_attention_fuse")
+    assert w == 2 * cfg.align_dim == 256
+    cfg, w = head_in_width("sentence_3input_heterogeneous")
+    assert w == 768 + 768 + 512
+
+
+@pytest.mark.parametrize("name", sorted(
+    __import__("privacy_preserve_federated_asr_tpu.text",
+               fromlist=["EXPERIMENTS"]).EXPERIMENTS))
+def test_experiment_runs_end_to_end(name):
+    from privacy_preserve_federated_asr_tpu.text.classifier import TextTrainerConfig
+    from privacy_preserve_federated_asr_tpu.text.experiments import run_experiment
+
+    out = run_experiment(
+        name, _synthetic_rows(24, seed=0), _synthetic_rows(12, seed=1),
+        tcfg=TextTrainerConfig(num_epochs=2, batch_size=4),
+        summaries={}, seeds=(0, 1))
+    assert out, name
+    if name == "extract_data_augmentation":
+        assert out["n_train"] > 0
+    elif "regression" in name:
+        assert "mse" in out
+    else:
+        assert 0.0 <= out["acc"] <= 1.0
+    if "consistency" in name:
+        assert "acc_spread" in out
+    if "param_tuning" in name:
+        assert "lr" in out and "hidden_dim" in out
