@@ -186,7 +186,11 @@ class Attention(nn.Module):
         b, t, _ = x.shape
         impl = cfg.attention_impl
         if impl == "auto":
-            impl = "pallas" if t >= 1024 else "xla"
+            # On TPU the flash kernel beats XLA at every T once the block is
+            # tuned (ops/attention.py auto_block) and it carries dropout
+            # in-kernel, so "auto" = pallas whenever we're on TPU. On CPU
+            # (tests) the kernel would run in the slow interpreter -> XLA.
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
         if impl == "pallas":
             # The fused kernel implements attention-prob dropout in-kernel
             # (counter-based hash mask, regenerated in the recompute

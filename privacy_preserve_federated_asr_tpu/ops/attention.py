@@ -268,17 +268,33 @@ def _flash_attention_bwd(block, rate, saved, gy):
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
+def auto_block(t: int) -> int:
+    """Largest power-of-2 block <= 512 that divides T padded to the 128
+    grid, so no extra padding is introduced beyond the 128 granularity.
+    Measured on v5e (B=16 H=16 D=64, fwd+bwd): larger blocks win big —
+    T=256: 3.07ms @256 vs 3.76 @128 (XLA 4.18); T=1024: 7.47 @512 vs
+    13.76 @128 (XLA 14.97)."""
+    padded = -(-t // 128) * 128
+    for b in (512, 256, 128):
+        if padded % b == 0:
+            return b
+    return 128
+
+
 def multihead_attention(q, k, v, key_mask=None, impl: str = "xla",
-                        block: int = DEFAULT_BLOCK, dropout_rate: float = 0.0,
+                        block: int | None = None, dropout_rate: float = 0.0,
                         dropout_rng=None):
     """Softmax attention over [B, T, H, D] with optional key masking and
-    attention-prob dropout (``dropout_rate > 0`` needs ``dropout_rng``)."""
+    attention-prob dropout (``dropout_rate > 0`` needs ``dropout_rng``).
+    ``block=None`` picks the measured-best block for T."""
     rate = float(dropout_rate)
     if impl == "xla":
         return attention_xla(q, k, v, key_mask, rate, dropout_rng)
     if impl != "pallas":
         raise ValueError(f"unknown attention impl {impl!r}")
     b, t, h, d = q.shape
+    if block is None:
+        block = auto_block(t)
     if key_mask is None:
         key_mask = jnp.ones((b, t), jnp.int32)
     if rate > 0.0:

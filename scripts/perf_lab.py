@@ -117,6 +117,8 @@ def main():
                 print(json.dumps(bench_attention(t, impl, block or 128)),
                       flush=True)
         print(json.dumps(bench_attention(256, "pallas", 128, rate=0.1)), flush=True)
+    elif mode == "decomp":
+        bench_decomp()
     elif mode == "one":
         print(json.dumps(bench_train_step(int(sys.argv[2]),
                                           attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto")),
@@ -125,3 +127,80 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_decomp():
+    """Where do the 102ms go? Time each stage of the flagship train step."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.models.backbone import (
+        FeatureEncoder, feat_extract_output_lengths)
+    from privacy_preserve_federated_asr_tpu.models.objectives import dacs_loss
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import DeviceBatch, make_train_step
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        create_train_state, init_dacs_params)
+
+    B, SAMPLES, LABEL_LEN = 16, 80000, 48
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=0, ad_loss="recall")
+    model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    tx = make_optimizer(jax.eval_shape(lambda: params), stage=0,
+                        warmup_steps=100, total_steps=10_000)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(int(0.7 * SAMPLES), SAMPLES, size=B)
+    lengths[0] = SAMPLES
+    iv = rng.normal(0, 1, size=(B, SAMPLES)).astype(np.float32)
+    batch = DeviceBatch(
+        input_values=jnp.asarray(iv),
+        input_lengths=jnp.asarray(lengths, dtype=jnp.int32),
+        labels=jnp.asarray(rng.integers(4, 32, (B, LABEL_LEN)), jnp.int32),
+        label_lengths=jnp.full((B,), LABEL_LEN, jnp.int32),
+        dementia_labels=jnp.asarray(rng.integers(0, 2, B), jnp.int32),
+        sample_mask=jnp.ones((B,), jnp.float32))
+    res = {}
+
+    # 1. full train step
+    step = jax.jit(make_train_step(model, tx, cfg))
+    holder = {"s": state}
+    def run_full(b):
+        holder["s"], m = step(holder["s"], b)
+        return m["loss"]
+    res["full_step"] = time_fn(run_full, (batch,), flush=float) * 1e3
+
+    # 2. forward + loss only (no grad)
+    def fwd_loss(params, b, rng):
+        out = model.apply({"params": params}, b.input_values, b.input_lengths,
+                          deterministic=False, rngs={"gumbel": rng, "dropout": rng})
+        loss, _ = dacs_loss(out, b.labels, b.label_lengths, b.dementia_labels,
+                            cfg, params["similar_fc"]["kernel"], b.sample_mask,
+                            aux_metrics=False)
+        return loss
+    jf = jax.jit(fwd_loss)
+    key = jax.random.PRNGKey(2)
+    res["fwd_loss"] = time_fn(jf, (state.params, batch, key), flush=float) * 1e3
+
+    # 3. value_and_grad without optimizer
+    jg = jax.jit(lambda p, b, r: jax.value_and_grad(fwd_loss)(p, b, r)[0])
+    res["fwd_bwd"] = time_fn(jg, (state.params, batch, key), flush=float) * 1e3
+
+    # 4. frozen conv feature extractor forward alone
+    fe = FeatureEncoder(cfg.backbone, jnp.bfloat16)
+    fe_params = params["backbone"]["feature_extractor"]
+    jfe = jax.jit(lambda p, x: fe.apply({"params": p}, x).sum())
+    res["feature_extractor_fwd"] = time_fn(
+        jfe, (fe_params, batch.input_values), flush=float) * 1e3
+
+    # 5. optimizer update alone (grads = params-shaped ones)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    jopt = jax.jit(lambda g, s: tx.update(g, s.opt_state, s.params)[0])
+    res["optimizer_update"] = time_fn(
+        jopt, (grads, state), flush=lambda u: float(
+            jax.tree.leaves(u)[0].reshape(-1)[0])) * 1e3
+
+    for k, v in res.items():
+        print(json.dumps({"component": k, "ms": round(v, 2)}), flush=True)
