@@ -125,8 +125,6 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
-    main()
 
 
 def bench_decomp():
@@ -204,3 +202,7 @@ def bench_decomp():
 
     for k, v in res.items():
         print(json.dumps({"component": k, "ms": round(v, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

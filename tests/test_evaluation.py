@@ -218,3 +218,68 @@ def test_sampling_partitions():
     u = noniid_unequal_partition(labels, 5, seed=0)
     total = np.concatenate([v for v in u.values() if len(v)])
     assert len(np.unique(total)) == len(total)
+
+
+def test_wer_golden_jiwer_semantics():
+    """Hand-verified golden H/S/D/I counts with jiwer/compute_measures
+    semantics (the reference vendors jiwer in centralized/detail_wer.py:
+    88-241; jiwer itself is not in this image, so the goldens are frozen
+    hand-derived values, incl. whitespace normalization and the corpus
+    aggregation rule total_errors / total_ref_words)."""
+    from privacy_preserve_federated_asr_tpu.train.metrics import (
+        ErrorCounts, wer, word_error_counts)
+
+    cases = [
+        # (ref, hyp, hits, subs, dels, ins)
+        ("the cat sat", "the cat sat", 3, 0, 0, 0),
+        ("the cat sat", "the bat sat", 2, 1, 0, 0),
+        ("the cat sat", "cat sat", 2, 0, 1, 0),
+        ("the cat sat", "the big cat sat", 3, 0, 0, 1),
+        ("a b c d", "x y", 0, 2, 2, 0),
+        ("a", "a a a", 1, 0, 0, 2),
+        ("a b", "", 0, 0, 2, 0),
+        ("", "x y", 0, 0, 0, 2),
+        ("  the   cat ", "the cat", 2, 0, 0, 0),   # whitespace normalization
+        ("a b a b", "b a b", 3, 0, 1, 0),           # shift alignment
+    ]
+    for ref, hyp, h, s, d, i in cases:
+        c = word_error_counts(ref, hyp)
+        assert (c.hits, c.substitutions, c.deletions, c.insertions) == \
+            (h, s, d, i), (ref, hyp, c)
+
+    # jiwer WER on the single pair
+    c = word_error_counts("the cat sat", "the bat sat")
+    assert c.wer == pytest.approx(1 / 3)
+    # corpus aggregation: sum of errors / sum of ref words (jiwer semantics,
+    # NOT the mean of per-utterance WERs)
+    assert wer(["the cat sat", "a b c d"], ["the bat sat", "x y"]) == \
+        pytest.approx((1 + 4) / (3 + 4))
+    # empty-reference conventions
+    assert ErrorCounts(0, 0, 0, 0).wer == 0.0
+    assert ErrorCounts(0, 0, 0, 2).wer == float("inf")
+
+
+def test_detail_wer_golden_report():
+    """Frozen end-to-end detail-WER report on a tiny synthetic extraction:
+    grouped HC/AD counts must match hand-computed values (reference
+    detail_wer.py type-2 grouping)."""
+    from privacy_preserve_federated_asr_tpu.evaluation.detail_wer import (
+        detailed_wer_report)
+
+    rows = [
+        {"path": "S001_PAR_0_0.wav", "text": "the cat sat",
+         "pred_str": "the bat sat", "dementia_labels": 0},
+        {"path": "S001_PAR_1_0.wav", "text": "a b c d",
+         "pred_str": "a b c d", "dementia_labels": 0},
+        {"path": "S002_PAR_0_0.wav", "text": "hello there friend",
+         "pred_str": "hello friend", "dementia_labels": 1},
+        {"path": "S002_PAR_1_0.wav", "text": "one two",
+         "pred_str": "one two three", "dementia_labels": 1},
+    ]
+    report = detailed_wer_report(rows, level=2)
+    hc, ad = report["HC_all"], report["AD"]
+    assert hc["n_utts"] == 2 and ad["n_utts"] == 2
+    # HC: 1 sub over 7 ref words; AD: 1 del + 1 ins over 5 ref words
+    assert hc["substitutions"] == 1 and hc["wer"] == pytest.approx(1 / 7)
+    assert ad["deletions"] == 1 and ad["insertions"] == 1
+    assert ad["wer"] == pytest.approx(2 / 5)
