@@ -397,6 +397,58 @@ def cmd_text(args):
     print(json.dumps({"test_" + k: v for k, v in tr.evaluate(x_test, y_test).items()}))
 
 
+def cmd_sweep(args):
+    """Replay the reference's run_*.sh sweep grids as one command
+    (run_dementia_BERTparamsTuning.sh, run_dementia_SVM.sh,
+    run_HyperparameterTune.sh — see sweep.py for the full mapping)."""
+    from .sweep import (
+        ASR_PRESETS,
+        SVM_PRESETS,
+        TEXT_PRESETS,
+        parse_grid,
+        sweep_asr,
+        sweep_svm,
+        sweep_text,
+    )
+
+    presets = {"asr": ASR_PRESETS, "text": TEXT_PRESETS, "svm": SVM_PRESETS}[args.target]
+    grid = presets[args.preset]() if args.preset else {}
+    grid.update(parse_grid(args.grid))  # explicit --grid axes override presets
+    if not grid:
+        raise SystemExit(f"sweep {args.target}: give --preset "
+                         f"({', '.join(sorted(presets))}) and/or --grid key=v1,v2")
+
+    def load_rows(pkl):
+        with open(pkl, "rb") as f:
+            rows = pickle.load(f).to_dict("records")
+        for r in rows:
+            r.setdefault("text", r.get("pred_str"))
+        return rows
+
+    if args.target == "text":
+        sweep_text(grid, load_rows(args.train_pkl), load_rows(args.test_pkl),
+                   results_csv=args.results_csv, seed=args.seed)
+    elif args.target == "svm":
+        from .data.dataset import load_spk2label
+
+        sweep_svm(grid, load_rows(args.train_pkl), load_rows(args.test_pkl),
+                  load_spk2label(args.spk2label), results_csv=args.results_csv)
+    else:  # asr
+        from .train.trainer import TrainerConfig
+
+        _maybe_fast_rng(args)
+        cfg = _dacs_cfg(args)
+        train_exs, tok = _load_examples(args, args.train_csv)
+        test_exs, _ = _load_examples(args, args.test_csv)
+        params = load_params(cfg, args.model_in_path, args.seed)
+        tcfg = TrainerConfig(
+            num_epochs=args.epochs, batch_size=args.train_batch_size,
+            eval_batch_size=args.eval_batch_size, seed=args.seed,
+            compute_dtype=args.compute_dtype, log_file=args.log_path)
+        sweep_asr(grid, cfg, tcfg, params, train_exs, test_exs, tok,
+                  results_csv=args.results_csv)
+
+
 def cmd_feat_scoring(args):
     from .evaluation import mask_node_statistics, per_utt_on_rates
 
@@ -479,6 +531,33 @@ def main(argv=None):
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_text)
+
+    p = sub.add_parser("sweep", help="replay the reference run_*.sh sweep grids")
+    sweep_sub = p.add_subparsers(dest="target", required=True)
+    sp = sweep_sub.add_parser("asr", help="ASR/DACS hyperparameter grid "
+                              "(run_HyperparameterTune.sh)")
+    _add_common(sp)
+    sp.add_argument("--epochs", type=int, default=5)
+    sp.add_argument("--preset", default=None, choices=["hyperparameter-tune"])
+    sp.add_argument("--grid", nargs="*", default=[], metavar="key=v1,v2",
+                    help="DACSConfig/TrainerConfig axes, e.g. gs_tau=0.5,1.0")
+    sp.add_argument("--results_csv", default="./saves/results/sweep/asr_results.csv")
+    sp.set_defaults(fn=cmd_sweep, target="asr")
+    for name, choices, hlp in (
+        ("text", ["bert", "bert-regression", "bert-params-tuning"],
+         "text-branch grids (run_dementia_BERT*.sh)"),
+        ("svm", ["dementia-svm"], "SVM grids (run_dementia_SVM.sh)"),
+    ):
+        sp = sweep_sub.add_parser(name, help=hlp)
+        sp.add_argument("--train_pkl", required=True)
+        sp.add_argument("--test_pkl", required=True)
+        sp.add_argument("--preset", default=None, choices=choices)
+        sp.add_argument("--grid", nargs="*", default=[], metavar="key=v1,v2")
+        sp.add_argument("--spk2label", default="./meta-data/test_dic.npy")
+        sp.add_argument("--results_csv",
+                        default=f"./saves/results/sweep/{name}_results.csv")
+        sp.add_argument("--seed", type=int, default=0)
+        sp.set_defaults(fn=cmd_sweep, target=name)
 
     p = sub.add_parser("feat-scoring", help="mask statistics")
     p.add_argument("--pkl", required=True)

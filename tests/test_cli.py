@@ -120,3 +120,51 @@ def test_cli_text_branch(data_dir, tmp_path, capsys):
           "--test_pkl", str(tmp_path / "r2" / "t2.pkl"), "--epochs", "3"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "test_acc" in out
+
+
+def test_cli_sweep_text_and_svm(data_dir, tmp_path, capsys):
+    """`cli sweep` replays the reference run_*.sh grids from pickles
+    (run_dementia_BERTparamsTuning.sh / run_dementia_SVM.sh)."""
+    main(["train", "--epochs", "1", "-st", "0",
+          "-model_out", str(tmp_path / "m3"), "-log", "t3.txt",
+          *_common(data_dir, tmp_path)])
+    main(["extract", "-st", "2", "-model_in", str(tmp_path / "m3" / "final"),
+          "-csv", "t3", "--csv_out_dir", str(tmp_path / "r3"),
+          *_common(data_dir, tmp_path)])
+    capsys.readouterr()
+
+    csv_out = tmp_path / "sweep" / "text.csv"
+    main(["sweep", "text",
+          "--train_pkl", str(tmp_path / "r3" / "t3_train.pkl"),
+          "--test_pkl", str(tmp_path / "r3" / "t3.pkl"),
+          "--grid", "experiment=sentence_1input,session_text",
+          "num_epochs=2", "learning_rate=1e-3",
+          "--results_csv", str(csv_out)])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2 and all("acc" in l for l in lines)
+    assert len(csv_out.read_text().strip().splitlines()) == 3  # header + 2 rows
+
+    main(["sweep", "svm",
+          "--train_pkl", str(tmp_path / "r3" / "t3_train.pkl"),
+          "--test_pkl", str(tmp_path / "r3" / "t3.pkl"),
+          "--spk2label", str(data_dir / "spk2label.npy"),
+          "--preset", "dementia-svm",
+          "--results_csv", str(tmp_path / "sweep" / "svm.csv")])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 4  # 4 poolings x 1 mode
+    assert all("ACC" in l for l in lines)
+    svm_csv = (tmp_path / "sweep" / "svm.csv").read_text().strip().splitlines()
+    assert len(svm_csv) == 5  # header + 4 rows
+
+
+def test_cli_sweep_asr_grid(data_dir, tmp_path, capsys):
+    """ASR-side grid (run_HyperparameterTune.sh class): 2 configs trained
+    and scored, best reported."""
+    main(["sweep", "asr", "--epochs", "1",
+          "--grid", "gs_tau=0.5,1.0",
+          "--results_csv", str(tmp_path / "sweep" / "asr.csv"),
+          *_common(data_dir, tmp_path)])
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    rows = [json.loads(l) for l in out_lines if l.startswith("{")]
+    assert any("best" in r for r in rows)
+    assert sum("eval_wer" in r for r in rows) == 2
