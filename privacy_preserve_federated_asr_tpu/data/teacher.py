@@ -65,6 +65,61 @@ def add_transcripts(
     return out
 
 
+class WhisperTeacher:
+    """TPU-native port of the reference's Whisper teacher
+    (``TeacherStudentLearning``, federated/src/federated_main.py:29-68):
+    batched 30 s-window log-mel -> encoder -> KV-cached greedy decode,
+    one jitted program for the whole batch.
+
+    ``detokenize`` maps token-id lists to text (e.g.
+    ``transformers.WhisperTokenizer.decode`` when HF assets are present;
+    any ids->str callable works). Transcripts are uppercased/stripped like
+    the reference's ``transcribe`` (:60).
+    """
+
+    def __init__(self, cfg, params, detokenize: Callable[[Sequence[int]], str],
+                 dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.whisper import greedy_decode, log_mel_spectrogram, pad_or_trim
+
+        self.cfg = cfg
+        self.params = params
+        self.detokenize = detokenize
+        self._pad_or_trim = pad_or_trim
+        dtype = dtype or jnp.float32
+
+        def _run(params, audio):
+            mel = log_mel_spectrogram(audio, cfg.num_mel_bins)
+            return greedy_decode(cfg, params, mel, dtype=dtype)
+
+        self._run = jax.jit(_run)
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray]) -> list[str]:
+        batch = np.stack([self._pad_or_trim(np.asarray(a, np.float32))
+                          for a in audios])
+        ids = np.asarray(self._run(self.params, batch))
+        out = []
+        eot = self.cfg.eot_token
+        for row in ids:
+            keep = [int(t) for t in row if int(t) != eot]
+            out.append(self.detokenize(keep).upper().strip())
+        return out
+
+    def transcribe(self, examples: Sequence[AsrExample],
+                   batch_size: int = 8) -> dict[str, str]:
+        """path -> transcript for a dataset (the reference's per-file loop,
+        here batched)."""
+        out: dict[str, str] = {}
+        for i in range(0, len(examples), batch_size):
+            chunk = examples[i : i + batch_size]
+            texts = self.transcribe_batch([e.array for e in chunk])
+            for e, t in zip(chunk, texts):
+                out[e.path] = t
+        return out
+
+
 def transcribe_with_ctc_model(
     cfg,
     params,

@@ -2,8 +2,22 @@ from .config import BackboneConfig, DACSConfig
 from .backbone import SSLBackbone, feat_extract_output_lengths
 from .dacs import DACSModel, DACSOutputs
 from .port import port_hf_state_dict
+from .whisper import (
+    WhisperConfigT,
+    WhisperModel,
+    config_from_hf,
+    greedy_decode,
+    log_mel_spectrogram,
+    port_hf_whisper,
+)
 
 __all__ = [
+    "WhisperConfigT",
+    "WhisperModel",
+    "config_from_hf",
+    "greedy_decode",
+    "log_mel_spectrogram",
+    "port_hf_whisper",
     "BackboneConfig",
     "DACSConfig",
     "SSLBackbone",
