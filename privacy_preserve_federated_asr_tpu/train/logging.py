@@ -45,6 +45,38 @@ class JsonlLogger:
                 f.write(",".join(str(r.get(k, "")) for k in keys) + "\n")
 
 
+def record_result(history: list[dict[str, Any]], result_folder: str,
+                  logs_root: str = "./logs") -> str | None:
+    """Re-emit the run's history as TensorBoard scalars — the reference's
+    third metric sink (``record_result``, federated/src/update.py:398-411):
+    Loss/train from "loss" rows, Loss/test + wer/test from "eval_loss" rows,
+    Loss/train from the final "train_loss" row, all at step ``epoch*100``.
+
+    Uses torch's bundled SummaryWriter (tensorboardX twin); returns the event
+    dir, or None when no TB writer is importable (sink degrades to the
+    JSON-lines + CSV sinks, which always run).
+    """
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return None
+
+    out_dir = os.path.join(logs_root, os.path.basename(str(result_folder).rstrip("/")))
+    w = SummaryWriter(out_dir)
+    for row in history:
+        step = int(float(row.get("epoch", 0.0)) * 100)
+        if "loss" in row:
+            w.add_scalar("Loss/train", float(row["loss"]), step)
+        elif "eval_loss" in row:
+            w.add_scalar("Loss/test", float(row["eval_loss"]), step)
+            if "eval_wer" in row:
+                w.add_scalar("wer/test", float(row["eval_wer"]), step)
+        elif "train_loss" in row:
+            w.add_scalar("Loss/train", float(row["train_loss"]), step)
+    w.close()
+    return out_dir
+
+
 def _pyval(v):
     try:
         return float(v)

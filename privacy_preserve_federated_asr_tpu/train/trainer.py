@@ -26,7 +26,7 @@ from ..data.tokenizer import CTCCharTokenizer
 from ..models.config import DACSConfig
 from ..models.dacs import DACSModel
 from .checkpoint import CheckpointManager
-from .logging import JsonlLogger, StepTimer
+from .logging import JsonlLogger, StepTimer, record_result
 from .metrics import wer
 from .optim import make_optimizer
 from .steps import DeviceBatch, make_eval_step, make_train_step
@@ -186,6 +186,7 @@ class Trainer:
                 if self.eval_batcher is not None and step % t.eval_steps == 0:
                     ev = self.evaluate()
                     ev["step"] = step
+                    ev["epoch"] = epoch + 1
                     self.logger.log(ev)
                 if self.ckpt is not None and step % t.save_steps == 0:
                     # full train state (params + moments + rng) -> exact resume
@@ -197,4 +198,8 @@ class Trainer:
         if self.ckpt is not None:
             self.ckpt.save_final(jax.device_get(self.state.params),
                                  metadata={"stage": self.cfg.stage})
+        if t.save_dir is not None:
+            # third sink: TensorBoard scalars, reference record_result
+            # (federated/src/update.py:398-411)
+            record_result(self.logger.history, t.save_dir)
         return self.state

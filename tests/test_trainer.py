@@ -165,3 +165,30 @@ def test_resume_from_checkpoint_exact(tmp_path):
     np.testing.assert_allclose(
         np.asarray(resumed["lm_head"]["kernel"]),
         np.asarray(full["lm_head"]["kernel"]), rtol=2e-4, atol=1e-6)
+
+
+def test_record_result_tensorboard_sink(tmp_path):
+    """The third metric sink (reference record_result, update.py:398-411):
+    history rows re-emitted as TB scalars Loss/train, Loss/test, wer/test."""
+    from privacy_preserve_federated_asr_tpu.train.logging import record_result
+
+    history = [
+        {"loss": 3.0, "epoch": 1.0},
+        {"eval_loss": 2.5, "eval_wer": 0.9, "epoch": 1.0},
+        {"train_loss": 2.8, "epoch": 2.0},
+    ]
+    out = record_result(history, str(tmp_path / "mymodel"),
+                        logs_root=str(tmp_path / "logs"))
+    assert out is not None
+    import glob
+    events = glob.glob(out + "/events.out.tfevents.*")
+    assert events, "no TB event file written"
+    # round-trip: the scalars are actually in the event file
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator)
+    acc = EventAccumulator(out)
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"Loss/train", "Loss/test", "wer/test"} <= tags
+    assert acc.Scalars("Loss/train")[0].step == 100
+    assert abs(acc.Scalars("wer/test")[0].value - 0.9) < 1e-6
