@@ -112,6 +112,7 @@ class FederatedEngine:
         self._round_fns: dict = {}
         self._eval_trainers: dict[int, Trainer] = {}
         self._pseudo_fwd = None  # cached jitted stochastic-decode forward
+        self._last_dead_step_frac = 0.0  # padding overhead of the last round
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -124,6 +125,14 @@ class FederatedEngine:
         All sampled clients are padded to the same step count and the same
         (T, L) shapes so one compiled program serves the round; padding
         batches carry sample_mask=0 (zero loss, zero grads).
+
+        Cost bound: the vmapped round executes ``K * max_c(steps_c)`` steps,
+        so the dead-step fraction is ``1 - mean_c(steps_c) / max_c(steps_c)``
+        — zero for balanced splits (the reference's ADReSS 27/27 and ADReSSo
+        80/81 speaker partitions), and bounded by the client size skew in
+        general. The fraction is recorded per round as ``dead_step_frac`` in
+        the JSONL log; for strongly skewed populations cap ``max_samples``
+        or sample similarly-sized client cohorts per round to bound it.
 
         ``pseudo`` (cid -> path -> N-best (text, ids, conf) list) marks the
         N-best multitask phase: examples get their 1-best pseudo labels for
@@ -159,6 +168,8 @@ class FederatedEngine:
         if pseudo is not None:
             l_max = -(-l_max // f.label_multiple) * f.label_multiple
         steps = max(len(bs) for _, bs in per_client)
+        real = sum(len(bs) for _, bs in per_client)
+        self._last_dead_step_frac = 1.0 - real / (steps * len(per_client))
 
         def pad_to(b, t, l):
             iv = np.zeros((b.input_values.shape[0], t), dtype=np.float32)
@@ -351,6 +362,7 @@ class FederatedEngine:
             self.logger.log({
                 "fl_round": rnd + 1, "stage": stage,
                 "clients": ",".join(str(c) for c in cids),
+                "dead_step_frac": round(self._last_dead_step_frac, 4),
                 **{f"client{c}_loss": float(l) for c, l in zip(cids, losses)},
             })
             if self.eval_examples is not None:

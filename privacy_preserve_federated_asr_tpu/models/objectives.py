@@ -149,8 +149,13 @@ def dacs_loss(
         "ad_reversed": ad_loss_rev,
         "ad_masked": ad_loss,
         "am_softmax": score_loss,
-        "lm_mask_on_rate": masked_time_mean(outputs.lm_mask, fm, True).mean(),
-        "ad_mask_on_rate": masked_time_mean(outputs.ad_mask, fm, True).mean(),
+        # reported only when the stage consumes the masks (or full metrics
+        # are requested) — otherwise they would force the arbitrator +
+        # gumbel forward that stage 0/1 training otherwise DCEs away
+        "lm_mask_on_rate": masked_time_mean(outputs.lm_mask, fm, True).mean()
+        if need_masked else zero,
+        "ad_mask_on_rate": masked_time_mean(outputs.ad_mask, fm, True).mean()
+        if need_masked else zero,
     }
     return final, metrics
 

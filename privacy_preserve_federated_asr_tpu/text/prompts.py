@@ -18,9 +18,10 @@ import json
 import re
 from typing import Mapping
 
-# speaker -> {original utterance: privacy-safe rewrite}; load from the
+# speaker -> ordered [(original utterance, privacy-safe rewrite), ...]
+# (the reference's native shape; a plain mapping also works); load from the
 # dataset sidecar via load_sensitive_dict (see module docstring).
-SENSITIVE_REPLACE_DICT: dict[str, dict[str, str]] = {}
+SENSITIVE_REPLACE_DICT: dict[str, object] = {}
 
 # Clinical-linguistics feature definitions (the reference's
 # Psychology_template keys) used as few-shot assessment context.
@@ -50,9 +51,10 @@ PSYCHOLOGY_TEMPLATE: dict[str, str] = {
 }
 
 
-def load_sensitive_dict(path: str) -> dict[str, dict[str, str]]:
+def load_sensitive_dict(path: str) -> dict[str, object]:
     """Load per-speaker sensitive-utterance rewrites from a JSON sidecar and
-    install them as the module-level dict."""
+    install them as the module-level dict. Entries may be the reference's
+    list-of-pairs shape or a plain {original: replacement} mapping."""
     with open(path) as f:
         loaded = json.load(f)
     SENSITIVE_REPLACE_DICT.clear()
@@ -63,12 +65,18 @@ def load_sensitive_dict(path: str) -> dict[str, dict[str, str]]:
 def apply_sensitive_replacements(
     session_id: str,
     text: str,
-    table: Mapping[str, Mapping[str, str]] | None = None,
+    table: Mapping[str, object] | None = None,
 ) -> str:
-    """Replace privacy-sensitive utterances for one session's document
-    (reference: per-speaker replacement before LLM summarization)."""
+    """Replace privacy-sensitive utterances for one session's document.
+
+    Per-session entries may be an ordered list of (original, replacement)
+    pairs — the reference's native ``Sensitive_replace_dict`` shape, applied
+    as sequential ``str.replace`` (0207_DM_Extact_dataAugmentation.py:105-108)
+    — or a {original: replacement} mapping."""
     table = SENSITIVE_REPLACE_DICT if table is None else table
-    for original, replacement in table.get(session_id, {}).items():
+    entries = table.get(session_id, ())
+    pairs = entries.items() if hasattr(entries, "items") else entries
+    for original, replacement in pairs:
         text = text.replace(original, replacement)
     return text
 

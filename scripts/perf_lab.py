@@ -119,12 +119,40 @@ def main():
         print(json.dumps(bench_attention(256, "pallas", 128, rate=0.1)), flush=True)
     elif mode == "decomp":
         bench_decomp()
+    elif mode == "mm":
+        bench_matmul_ceiling()
     elif mode == "one":
         print(json.dumps(bench_train_step(int(sys.argv[2]),
                                           attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto")),
               flush=True)
 
 
+
+
+def bench_matmul_ceiling():
+    """Achievable bf16 matmul TFLOP/s on this chip at the model's shapes —
+    the roofline every other number is judged against. A 16-matmul chain
+    keeps the MXU busy without per-dispatch overhead dominating."""
+    rng = np.random.default_rng(0)
+    for (m, k, n) in [(4096, 1024, 4096), (3984, 1024, 4096),
+                      (4096, 4096, 1024), (3984, 1024, 1024),
+                      (8192, 1024, 4096), (3984, 1024, 3072)]:
+        x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(0, 0.02, (k, n)), jnp.bfloat16)
+        w2 = jnp.asarray(rng.normal(0, 0.02, (n, k)), jnp.bfloat16)
+
+        def chain(x, w1, w2):
+            h = x
+            for _ in range(8):
+                h = (h @ w1) @ w2  # back to [m, k] each pair
+            return h.sum()
+
+        f = jax.jit(chain)
+        dt = time_fn(f, (x, w1, w2), flush=float)
+        fl = 8 * 2 * (2 * m * k * n)
+        print(json.dumps({"config": f"mm {m}x{k}x{n} chain16",
+                          "ms": round(dt * 1e3, 3),
+                          "tflops": round(fl / dt / 1e12, 1)}), flush=True)
 
 
 def bench_decomp():
@@ -182,8 +210,13 @@ def bench_decomp():
     key = jax.random.PRNGKey(2)
     res["fwd_loss"] = time_fn(jf, (state.params, batch, key), flush=float) * 1e3
 
-    # 3. value_and_grad without optimizer
-    jg = jax.jit(lambda p, b, r: jax.value_and_grad(fwd_loss)(p, b, r)[0])
+    # 3. value_and_grad without optimizer. NB: the grads must stay live in
+    # the jitted output or XLA dead-code-eliminates the entire backward
+    # (returning only the loss measured == fwd_loss).
+    def vg(p, b, r):
+        loss, grads = jax.value_and_grad(fwd_loss)(p, b, r)
+        return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads))
+    jg = jax.jit(vg)
     res["fwd_bwd"] = time_fn(jg, (state.params, batch, key), flush=float) * 1e3
 
     # 4. frozen conv feature extractor forward alone

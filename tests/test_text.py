@@ -62,6 +62,54 @@ def test_sensitive_replacement_and_prompts(tmp_path):
     assert loaded["S001"]
 
 
+def test_sensitive_replacement_reference_shape(tmp_path):
+    """Round-trip the reference's native Sensitive_replace_dict shape:
+    {session: ordered [(original, replacement), ...]} applied as sequential
+    str.replace (reference centralized/prompts.py:2-21 builds the dict,
+    0207_DM_Extact_dataAugmentation.py:105-108 applies it). Fixture content
+    is synthetic — the reference's actual rewrites are dataset-derived
+    privacy data and are deliberately not shipped."""
+    import json
+
+    from privacy_preserve_federated_asr_tpu.text.prompts import (
+        SENSITIVE_REPLACE_DICT,
+        load_sensitive_dict,
+    )
+
+    # built exactly the way the reference builds it: zip(ori_lst, rep_lst)
+    ori_lst = [
+        ["S900", "PAR: THAT IS A WAY TO GET HURT"],
+        ["S900", "PAR: GET HURT I SHOULD SAY"],
+        ["S901", "PAR: THE GIRL SEES THE BOY FALL"],
+    ]
+    rep_lst = [
+        ["S900", "PAR: THAT COULD BE UNSAFE"],
+        ["S900", "PAR: BE UNSAFE I SHOULD SAY"],
+        ["S901", "PAR: THE GIRL NOTICES THE BOY ACCIDENTALLY FALLING"],
+    ]
+    table = {}
+    for ori_item, rep_item in zip(ori_lst, rep_lst):
+        table.setdefault(ori_item[0], []).append((ori_item[1], rep_item[1]))
+
+    doc = "INV: TELL ME\nPAR: THAT IS A WAY TO GET HURT\nPAR: GET HURT I SHOULD SAY"
+    out = apply_sensitive_replacements("S900", doc, table)
+    # the reference's loop-of-replace semantics: first pair rewrites line 2
+    # AND the prefix of line 3, then the second pair cleans up the remainder
+    expected = doc
+    for o, r in table["S900"]:
+        expected = expected.replace(o, r)
+    assert out == expected
+    assert "GET HURT" not in out and "UNSAFE" in out
+    # unknown session: unchanged; list shape via JSON sidecar round-trips
+    assert apply_sensitive_replacements("S777", doc, table) == doc
+    f = tmp_path / "sens_ref.json"
+    f.write_text(json.dumps(table))
+    loaded = load_sensitive_dict(str(f))
+    assert apply_sensitive_replacements("S901", "PAR: THE GIRL SEES THE BOY FALL") \
+        == "PAR: THE GIRL NOTICES THE BOY ACCIDENTALLY FALLING"
+    SENSITIVE_REPLACE_DICT.clear()
+
+
 def test_bert_parity_vs_hf_torch():
     import torch
     from transformers import BertConfig, BertModel
