@@ -68,12 +68,18 @@ class _ConvLayer(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # Norms here run at waveform-scale T (16k frames after conv0), where
+        # flax's default fp32 LayerNorm materializes fp32 tensors and costs
+        # ~half the whole feature-extractor runtime in HBM traffic (measured:
+        # 8.1 -> ~5.5 ms at B=16x5s). Stats stay fp32 via LayerNorm's
+        # float32-reduction promotion; only the normalize/affine apply runs
+        # in the compute dtype.
         if cfg.feat_extract_norm == "layer":
-            x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x).astype(self.dtype)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         elif cfg.feat_extract_norm == "group" and self.layer_id == 0:
             # per-channel norm over time (torch GroupNorm(C, C))
-            x = nn.GroupNorm(num_groups=out_dim, epsilon=1e-5, name="layer_norm")(x)
-            x = x.astype(self.dtype)
+            x = nn.GroupNorm(num_groups=out_dim, epsilon=1e-5, dtype=self.dtype,
+                             name="layer_norm")(x)
         return ACT2FN[cfg.feat_extract_activation](x)
 
 

@@ -121,6 +121,10 @@ def main():
         bench_decomp()
     elif mode == "mm":
         bench_matmul_ceiling()
+    elif mode == "stack":
+        bench_layer_stack()
+    elif mode == "posconv":
+        bench_posconv()
     elif mode == "one":
         print(json.dumps(bench_train_step(int(sys.argv[2]),
                                           attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto")),
@@ -153,6 +157,66 @@ def bench_matmul_ceiling():
         print(json.dumps({"config": f"mm {m}x{k}x{n} chain16",
                           "ms": round(dt * 1e3, 3),
                           "tflops": round(fl / dt / 1e12, 1)}), flush=True)
+
+
+def bench_layer_stack(b=16, t=249):
+    """24-layer encoder stack fwd and fwd+bwd TFLOP/s at bench shapes.
+    NB: single-layer programs are dominated by the ~1.1-1.5 ms per-program
+    dispatch floor of the remote platform; only multi-layer programs give
+    honest per-layer numbers (PERF.md §1)."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig
+    from privacy_preserve_federated_asr_tpu.models.backbone import EncoderLayer
+
+    cfg = BackboneConfig.data2vec_audio_large()
+    d = cfg.hidden_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (b, t, d)), jnp.bfloat16)
+    key_mask = jnp.ones((b, t), jnp.int32)
+    layer = EncoderLayer(cfg, jnp.bfloat16)
+    params = layer.init({"params": jax.random.PRNGKey(0)}, x, None, True,
+                        key_mask)["params"]
+    fl = 24 * (2 * b * t * 12 * d * d)
+
+    def stack(p, x):
+        h = x
+        for _ in range(24):
+            h = layer.apply({"params": p}, h, None, True, key_mask)
+        return h
+
+    fwd = jax.jit(lambda p, x: stack(p, x).sum())
+    dt = time_fn(fwd, (params, x), flush=float)
+    print(json.dumps({"config": f"stack24 fwd B={b} T={t}",
+                      "ms": round(dt * 1e3, 2),
+                      "tflops": round(fl / dt / 1e12, 1)}), flush=True)
+    bwd = jax.jit(lambda p, x: jax.grad(lambda xx: stack(p, xx).sum())(x))
+    dt = time_fn(bwd, (params, x),
+                 flush=lambda g: float(g[0, 0, 0]))
+    print(json.dumps({"config": f"stack24 fwd+bwd B={b} T={t}",
+                      "ms": round(dt * 1e3, 2),
+                      "tflops": round(3 * fl / dt / 1e12, 1)}), flush=True)
+
+
+def bench_posconv(b=16, t=249):
+    """Positional conv embedding stack at bench shapes."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig
+    from privacy_preserve_federated_asr_tpu.models.backbone import (
+        PositionalConvEmbedding)
+
+    cfg = BackboneConfig.data2vec_audio_large()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (b, t, cfg.hidden_size)), jnp.bfloat16)
+    pc = PositionalConvEmbedding(cfg, jnp.bfloat16)
+    pp = pc.init(jax.random.PRNGKey(0), x)["params"]
+    fwd = jax.jit(lambda p, x: pc.apply({"params": p}, x).sum())
+    dt = time_fn(fwd, (pp, x), flush=float)
+    print(json.dumps({"config": f"posconv fwd B={b} T={t}",
+                      "ms": round(dt * 1e3, 3)}), flush=True)
+    bwd = jax.jit(lambda p, x: jax.grad(
+        lambda p: pc.apply({"params": p}, x).sum())(p))
+    dt = time_fn(bwd, (pp, x),
+                 flush=lambda g: float(jax.tree.leaves(g)[0].ravel()[0]))
+    print(json.dumps({"config": f"posconv fwd+bwd(params) B={b} T={t}",
+                      "ms": round(dt * 1e3, 3)}), flush=True)
 
 
 def bench_decomp():
