@@ -4,11 +4,11 @@ The reference freezes modules by mutating ``requires_grad`` and calling
 ``.eval()`` per stage (federated/src/models.py:304-363) and trains with HF
 AdamW, max_grad_norm=1.0, weight decay 0.005, warmup 1000, stage-dependent
 LR 1e-5 / 1e-4 / 1e-3 (federated/src/update.py:434-464, utils.py:31). In JAX
-the same semantics are pure-functional: a stateless transform zeroes the
-gradients of frozen parameters *before* AdamW (zero grads -> zero moments ->
-zero updates), and the weight-decay mask excludes both no-decay leaves
-(bias / norm scales, like HF) and frozen leaves — so one compiled train step
-serves every stage.
+the same semantics are pure-functional: the parameter tree is partitioned
+into trainable/frozen (optax.multi_transform), frozen leaves get zero
+updates and carry NO Adam moments — so one compiled train step serves every
+stage and the stage-1/2 optimizer pass touches only the trained head. The
+weight-decay mask excludes no-decay leaves (bias / norm scales, like HF).
 """
 
 from __future__ import annotations
@@ -100,31 +100,32 @@ def make_optimizer(
             STAGE_LRS.get(stage, 1e-4), warmup_steps, total_steps)
 
     trainable = trainable_pred or stage_trainable_predicate(stage)
-    train_mask = jax.tree_util.tree_map_with_path(
-        lambda p, _: trainable(_path_strings(p)), params_shape
-    )
-    wd_mask = jax.tree_util.tree_map_with_path(
-        lambda p, _: (not _no_weight_decay(_path_strings(p)))
-        and trainable(_path_strings(p)),
+    labels = jax.tree_util.tree_map_with_path(
+        lambda p, _: "train" if trainable(_path_strings(p)) else "frozen",
         params_shape,
     )
 
-    def _zero_frozen(updates, state, params=None):
-        del params
-        return (
-            jax.tree.map(lambda u, m: u if m else jax.numpy.zeros_like(u),
-                         updates, train_mask),
-            state,
-        )
+    def wd_mask_fn(params):
+        # called by adamw on the multi_transform-masked params tree: frozen
+        # leaves are MaskedNode subtrees (no leaves), so this only labels
+        # real trainable leaves and the structures line up.
+        return jax.tree_util.tree_map_with_path(
+            lambda p, _: not _no_weight_decay(_path_strings(p)), params)
 
-    zero_frozen = optax.GradientTransformation(lambda params: optax.EmptyState(),
-                                               _zero_frozen)
-    return optax.chain(
-        zero_frozen,
+    adam = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
-                    weight_decay=weight_decay, mask=wd_mask),
+                    weight_decay=weight_decay, mask=wd_mask_fn),
     )
+    # multi_transform keeps Adam moments (and their per-step HBM traffic)
+    # ONLY for the trainable partition — in stages 1/2 that shrinks the
+    # optimizer pass from the full ~315M-param tree to the small head.
+    # Frozen leaves get set_to_zero (identical updates to the previous
+    # zero-the-gradients formulation: zero grads -> zero moments -> zero
+    # updates; the clipping norm is likewise unchanged since frozen grads
+    # contributed zeros).
+    return optax.multi_transform(
+        {"train": adam, "frozen": optax.set_to_zero()}, labels)
 
 
 def trainable_mask(params, stage: int):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.collate import Batch, LengthBucketBatcher
+from ..data.collate import LengthBucketBatcher
 from ..data.dataset import AsrExample
 from ..data.tokenizer import CTCCharTokenizer
 from ..models.config import DACSConfig
@@ -29,7 +29,8 @@ from .checkpoint import CheckpointManager
 from .logging import JsonlLogger, StepTimer, record_result
 from .metrics import wer
 from .optim import make_optimizer
-from .steps import DeviceBatch, make_eval_step, make_train_step
+from .prefetch import prefetch_device_batches
+from .steps import make_eval_step, make_train_step
 from .train_state import DACSTrainState, create_train_state
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
@@ -55,6 +56,7 @@ class TrainerConfig:
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
     shuffle_window: int | None = None        # per-epoch membership reshuffle
+    prefetch: int = 2                        # device batches staged ahead (0 = off)
     log_file: str | None = None
     log_dir: str = "./saves/log"
     save_dir: str | None = None
@@ -146,15 +148,13 @@ class Trainer:
             "step": self.state.step, "params": self.state.params,
             "opt_state": self.state.opt_state, "rng": self.state.rng})
 
-    def _batch_args(self, b: Batch):
-        return (DeviceBatch.from_host(b),)
-
     def evaluate(self) -> dict:
         assert self.eval_batcher is not None
         refs, hyps, losses = [], [], []
         ad_correct = ad_total = 0
-        for b in self.eval_batcher.epoch(epoch_seed=0):
-            loss, pred_ids, ad_pred = self._eval_step(self.state, *self._batch_args(b))
+        for b, db in prefetch_device_batches(
+                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch):
+            loss, pred_ids, ad_pred = self._eval_step(self.state, db)
             pred_ids = np.asarray(pred_ids)
             ad_pred = np.asarray(ad_pred)
             losses.append(float(loss))
@@ -175,8 +175,10 @@ class Trainer:
         timer = StepTimer()
         step = int(self.state.step)
         for epoch in range(t.num_epochs):
-            for b in self.train_batcher.epoch(epoch_seed=t.seed + epoch):
-                self.state, metrics = self._train_step(self.state, *self._batch_args(b))
+            for b, db in prefetch_device_batches(
+                    self.train_batcher.epoch(epoch_seed=t.seed + epoch),
+                    t.prefetch):
+                self.state, metrics = self._train_step(self.state, db)
                 step += 1
                 timer.update(int(b.sample_mask.sum()))
                 if step % t.logging_steps == 0:

@@ -16,6 +16,7 @@ from privacy_preserve_federated_asr_tpu.train.optim import (
     stage_trainable_predicate,
     trainable_mask,
 )
+from privacy_preserve_federated_asr_tpu.train.steps import DeviceBatch
 from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
 from privacy_preserve_federated_asr_tpu.train.trainer import Trainer, TrainerConfig
 from privacy_preserve_federated_asr_tpu.train.checkpoint import CheckpointManager
@@ -92,10 +93,10 @@ def test_loss_decreases_stage0():
                  TrainerConfig(num_epochs=30, batch_size=4, time_multiple=3200,
                                learning_rate=5e-4, warmup_steps=1, logging_steps=1000))
     b = next(tr.train_batcher.epoch(0))
-    args = tr._batch_args(b)
+    db = DeviceBatch.from_host(b)
     first = None
     for i in range(30):
-        tr.state, metrics = tr._train_step(tr.state, *args)
+        tr.state, metrics = tr._train_step(tr.state, db)
         if first is None:
             first = float(metrics["ctc_unmask"])
     last = float(metrics["ctc_unmask"])
@@ -192,3 +193,43 @@ def test_record_result_tensorboard_sink(tmp_path):
     assert {"Loss/train", "Loss/test", "wer/test"} <= tags
     assert acc.Scalars("Loss/train")[0].step == 100
     assert abs(acc.Scalars("wer/test")[0].value - 0.9) < 1e-6
+
+
+def test_prefetch_device_batches_order_and_errors():
+    """The prefetch pipeline preserves batch order, matches the synchronous
+    path, and re-raises worker exceptions on the consumer thread."""
+    import numpy as np
+    import pytest
+
+    from privacy_preserve_federated_asr_tpu.data.collate import Batch
+    from privacy_preserve_federated_asr_tpu.train.prefetch import (
+        prefetch_device_batches)
+
+    def mk(i):
+        return Batch(
+            input_values=np.full((2, 8), float(i), dtype=np.float32),
+            input_lengths=np.array([8, 8], dtype=np.int32),
+            labels=np.full((2, 3), i, dtype=np.int32),
+            label_lengths=np.array([3, 3], dtype=np.int32),
+            dementia_labels=np.array([0, 1], dtype=np.int32),
+            sample_mask=np.ones((2,), dtype=np.float32),
+            paths=[f"a{i}", f"b{i}"],
+        )
+
+    batches = [mk(i) for i in range(7)]
+    for depth in (0, 2, 16):
+        got = list(prefetch_device_batches(iter(batches), depth))
+        assert [b.paths for b, _ in got] == [b.paths for b in batches]
+        for (b, db), src in zip(got, batches):
+            np.testing.assert_array_equal(np.asarray(db.input_values),
+                                          src.input_values)
+            np.testing.assert_array_equal(np.asarray(db.labels), src.labels)
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("loader failed")
+
+    out = prefetch_device_batches(boom(), depth=2)
+    next(out)
+    with pytest.raises(RuntimeError, match="loader failed"):
+        list(out)
