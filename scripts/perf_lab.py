@@ -35,7 +35,7 @@ def time_fn(fn, args, warmup=3, iters=10, flush=lambda out: None):
 
 
 def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
-                     label_len=48):
+                     label_len=48, stage=0):
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
     from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
@@ -47,10 +47,10 @@ def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
     cfg = DACSConfig(
         backbone=BackboneConfig.data2vec_audio_large().replace(
             final_dropout=0.0, attention_impl=attention_impl),
-        stage=0, ad_loss="recall")
+        stage=stage, ad_loss="recall")
     model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
     params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
-    tx = make_optimizer(jax.eval_shape(lambda: params), stage=0,
+    tx = make_optimizer(jax.eval_shape(lambda: params), stage=stage,
                         warmup_steps=100, total_steps=10_000)
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     step = jax.jit(make_train_step(model, tx, cfg), donate_argnums=(0,))
@@ -77,7 +77,7 @@ def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
         return m
 
     dt = time_fn(run, (batch,), flush=lambda m: float(m["loss"]))
-    return {"config": f"train B={batch_size} T={seconds}s attn={attention_impl}",
+    return {"config": f"train B={batch_size} T={seconds}s attn={attention_impl} st={stage}",
             "step_ms": round(dt * 1000, 2),
             "utt_per_sec": round(batch_size / dt, 1)}
 
@@ -126,9 +126,11 @@ def main():
     elif mode == "posconv":
         bench_posconv()
     elif mode == "one":
-        print(json.dumps(bench_train_step(int(sys.argv[2]),
-                                          attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto")),
-              flush=True)
+        print(json.dumps(bench_train_step(
+            int(sys.argv[2]),
+            attention_impl=sys.argv[3] if len(sys.argv) > 3 else "auto",
+            stage=int(sys.argv[4]) if len(sys.argv) > 4 else 0)),
+            flush=True)
 
 
 
