@@ -135,6 +135,12 @@ def _add_common(p):
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="compile one encoder layer scanned over N "
+                        "(~num_layers x faster first compile, same math)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel chips: batch sharded over a 'data' "
+                        "mesh axis, params replicated (GSPMD all-reduce)")
     p.add_argument("--audio_dir", default="./data/clips")
     p.add_argument("--train_csv", default="./data/mid_csv/train.csv")
     p.add_argument("--test_csv", default="./data/mid_csv/test.csv")
@@ -166,6 +172,7 @@ def cmd_train(args):
         eval_batch_size=args.eval_batch_size, learning_rate=args.learning_rate,
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
+        scan_layers=args.scan_layers, dp=args.dp,
         log_file=args.log_path, save_dir=args.model_out_path,
         resume_from=args.checkpoint))
     tr.train()

@@ -28,14 +28,25 @@ class _Failure:
 
 
 def prefetch_device_batches(
-    batches: Iterable[Batch], depth: int = 2
+    batches: Iterable[Batch], depth: int = 2, sharding=None
 ) -> Iterator[tuple[Batch, DeviceBatch]]:
     """Yield ``(host_batch, device_batch)`` with up to ``depth`` device
     batches staged ahead of the consumer. ``depth <= 0`` disables the
-    thread (synchronous staging, identical semantics)."""
+    thread (synchronous staging, identical semantics). ``sharding``
+    (a jax.sharding.Sharding) places every leaf — e.g. batch-dim sharding
+    over a "data" mesh for data-parallel training."""
+
+    def stage(b: Batch) -> DeviceBatch:
+        db = DeviceBatch.from_host(b)
+        if sharding is not None:
+            import jax
+
+            db = jax.device_put(db, sharding)
+        return db
+
     if depth <= 0:
         for b in batches:
-            yield b, DeviceBatch.from_host(b)
+            yield b, stage(b)
         return
 
     q: queue.Queue = queue.Queue(maxsize=depth)
@@ -43,7 +54,7 @@ def prefetch_device_batches(
     def worker():
         try:
             for b in batches:
-                q.put((b, DeviceBatch.from_host(b)))
+                q.put((b, stage(b)))
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
             q.put(_Failure(e))

@@ -52,6 +52,8 @@ class TrainerConfig:
     seed: int = 0
     compute_dtype: str = "float32"
     remat: bool = False
+    scan_layers: bool = False  # one compiled layer scanned over N (fast compile)
+    dp: int = 1  # data-parallel chips: batch sharded over a "data" mesh axis
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
@@ -76,7 +78,17 @@ class Trainer:
         self.cfg = cfg
         self.tcfg = tcfg
         self.tokenizer = tokenizer
-        self.model = DACSModel(cfg, dtype=_DTYPES[tcfg.compute_dtype], remat=tcfg.remat)
+        self.model = DACSModel(cfg, dtype=_DTYPES[tcfg.compute_dtype],
+                               remat=tcfg.remat, scan_layers=tcfg.scan_layers)
+        if tcfg.scan_layers:
+            # ported / per-layer checkpoints carry layers_{i}; the scan model
+            # wants the stacked layout (same math — tests/test_backbone.py)
+            from ..models.port import stack_scan_layers
+
+            if "layers_0" in params["backbone"]["encoder"]:
+                params = dict(params)
+                params["backbone"] = stack_scan_layers(
+                    params["backbone"], cfg.backbone.num_hidden_layers)
         self.logger = JsonlLogger(tcfg.log_dir, tcfg.log_file)
         self.ckpt = (CheckpointManager(tcfg.save_dir, tcfg.save_total_limit)
                      if tcfg.save_dir else None)
@@ -105,6 +117,24 @@ class Trainer:
         self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)
+        self._batch_sharding = None
+        if tcfg.dp > 1:
+            # classic data parallelism the GSPMD way: params/optimizer state
+            # replicated, the batch dim sharded over a "data" mesh axis —
+            # jit partitions the step and inserts the gradient all-reduce
+            # (SURVEY.md §2.6: replaces torch DataParallel / Lightning DDP)
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            if tcfg.batch_size % tcfg.dp or tcfg.eval_batch_size % tcfg.dp:
+                raise ValueError(
+                    f"batch sizes ({tcfg.batch_size}/{tcfg.eval_batch_size}) "
+                    f"must be divisible by dp={tcfg.dp}")
+            devices = jax.devices()
+            if len(devices) < tcfg.dp:
+                raise ValueError(f"dp={tcfg.dp} but only {len(devices)} devices")
+            mesh = Mesh(np.array(devices[: tcfg.dp]), ("data",))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
         eval_step = make_eval_step(self.model, cfg)
@@ -153,7 +183,8 @@ class Trainer:
         refs, hyps, losses = [], [], []
         ad_correct = ad_total = 0
         for b, db in prefetch_device_batches(
-                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch):
+                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch,
+                self._batch_sharding):
             loss, pred_ids, ad_pred = self._eval_step(self.state, db)
             pred_ids = np.asarray(pred_ids)
             ad_pred = np.asarray(ad_pred)
@@ -177,7 +208,7 @@ class Trainer:
         for epoch in range(t.num_epochs):
             for b, db in prefetch_device_batches(
                     self.train_batcher.epoch(epoch_seed=t.seed + epoch),
-                    t.prefetch):
+                    t.prefetch, self._batch_sharding):
                 self.state, metrics = self._train_step(self.state, db)
                 step += 1
                 timer.update(int(b.sample_mask.sum()))
@@ -198,8 +229,16 @@ class Trainer:
         summary["step"] = step
         self.logger.log(summary)
         if self.ckpt is not None:
-            self.ckpt.save_final(jax.device_get(self.state.params),
-                                 metadata={"stage": self.cfg.stage})
+            final = jax.device_get(self.state.params)
+            if self.tcfg.scan_layers:
+                # export in the portable per-layer layout so extraction /
+                # evaluation (unrolled models) consume it directly
+                from ..models.port import unstack_scan_layers
+
+                if "layers_scan" in final["backbone"]["encoder"]:
+                    final = dict(final)
+                    final["backbone"] = unstack_scan_layers(final["backbone"])
+            self.ckpt.save_final(final, metadata={"stage": self.cfg.stage})
         if t.save_dir is not None:
             # third sink: TensorBoard scalars, reference record_result
             # (federated/src/update.py:398-411)

@@ -233,3 +233,70 @@ def test_prefetch_device_batches_order_and_errors():
     next(out)
     with pytest.raises(RuntimeError, match="loader failed"):
         list(out)
+
+
+def test_trainer_scan_layers_roundtrip(tmp_path):
+    """scan_layers=True: per-layer incoming params are stacked for the scan
+    model, training runs, and the final export is unstacked back to the
+    portable per-layer layout an unrolled model consumes directly."""
+    from privacy_preserve_federated_asr_tpu.train.checkpoint import load_params
+
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(1))  # per-layer layout
+    assert "layers_0" in params["backbone"]["encoder"]
+    tr = Trainer(cfg, params, _examples(4), None, TOK, TrainerConfig(
+        num_epochs=2, batch_size=4, time_multiple=3200, warmup_steps=1,
+        scan_layers=True, save_dir=str(tmp_path / "m"),
+        save_steps=1000, logging_steps=1000, eval_steps=10**9))
+    assert "layers_scan" in tr.state.params["backbone"]["encoder"]
+    state = tr.train()
+    assert "layers_scan" in state.params["backbone"]["encoder"]
+    final = load_params(str(tmp_path / "m" / "final"))
+    assert "layers_0" in final["backbone"]["encoder"]
+    assert "layers_scan" not in final["backbone"]["encoder"]
+
+    # the exported params drive the unrolled model to the same loss as the
+    # scan state on a fixed batch
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.models.objectives import dacs_loss
+
+    b = next(tr.train_batcher.epoch(0))
+    db = DeviceBatch.from_host(b)
+
+    def loss_with(model, p):
+        out = model.apply(
+            {"params": p}, db.input_values, db.input_lengths,
+            deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)})
+        return float(dacs_loss(out, db.labels, db.label_lengths,
+                               db.dementia_labels, cfg,
+                               p["similar_fc"]["kernel"], db.sample_mask)[0])
+
+    l_scan = loss_with(DACSModel(cfg, scan_layers=True), state.params)
+    l_unrolled = loss_with(DACSModel(cfg), final)
+    np.testing.assert_allclose(l_unrolled, l_scan, rtol=1e-5)
+
+
+def test_trainer_dp_matches_single_device():
+    """dp=2 (batch sharded over a "data" mesh, params replicated, GSPMD
+    gradient all-reduce) must reproduce single-device training."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices (run under the 8-virtual-CPU env)")
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(5))
+    exs = _examples(8, seed=5)
+    base = dict(num_epochs=2, batch_size=4, time_multiple=3200,
+                warmup_steps=1, logging_steps=1000, learning_rate=1e-4)
+
+    tr1 = Trainer(cfg, jax.tree.map(np.array, params), exs, None, TOK,
+                  TrainerConfig(**base))
+    p1 = jax.device_get(tr1.train().params)
+    tr2 = Trainer(cfg, jax.tree.map(np.array, params), exs, None, TOK,
+                  TrainerConfig(**base, dp=2))
+    p2 = jax.device_get(tr2.train().params)
+    np.testing.assert_allclose(
+        np.asarray(p2["lm_head"]["kernel"]),
+        np.asarray(p1["lm_head"]["kernel"]), rtol=2e-4, atol=1e-6)
+    enc1 = p1["backbone"]["encoder"]["layers_0"]["attention"]["q_proj"]["kernel"]
+    enc2 = p2["backbone"]["encoder"]["layers_0"]["attention"]["q_proj"]["kernel"]
+    np.testing.assert_allclose(np.asarray(enc2), np.asarray(enc1),
+                               rtol=2e-4, atol=1e-6)
