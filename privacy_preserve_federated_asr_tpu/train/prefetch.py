@@ -27,6 +27,34 @@ class _Failure:
         self.exc = exc
 
 
+def prefetch_iter(items: Iterable, depth: int = 1) -> Iterator:
+    """Generic producer thread: evaluate ``items`` up to ``depth`` elements
+    ahead of the consumer (used by the federated engine to overlap host-side
+    round building with the previous round's device execution).
+    ``depth <= 0`` degenerates to plain iteration."""
+    if depth <= 0:
+        yield from items
+        return
+    q: queue.Queue = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for x in items:
+                q.put((x,))
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            q.put(_Failure(e))
+
+    threading.Thread(target=worker, daemon=True, name="iter-prefetch").start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, _Failure):
+            raise item.exc
+        yield item[0]
+
+
 def prefetch_device_batches(
     batches: Iterable[Batch], depth: int = 2, sharding=None
 ) -> Iterator[tuple[Batch, DeviceBatch]]:

@@ -123,6 +123,8 @@ def main():
         bench_matmul_ceiling()
     elif mode == "stack":
         bench_layer_stack()
+    elif mode == "flround":
+        bench_fl_round(stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif mode == "posconv":
         bench_posconv()
     elif mode == "one":
@@ -196,6 +198,64 @@ def bench_layer_stack(b=16, t=249):
     print(json.dumps({"config": f"stack24 fwd+bwd B={b} T={t}",
                       "ms": round(dt * 1e3, 2),
                       "tflops": round(3 * fl / dt / 1e12, 1)}), flush=True)
+
+
+def bench_fl_round(stage=2, n_clients=2, utts_per_client=32, batch=8,
+                   seconds=5.0):
+    """One full jitted FL round (vmap over clients x local scan + FedAvg +
+    graft) on the flagship data2vec-large model — the federated hot loop
+    at production shapes, on one chip."""
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+    from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+    from privacy_preserve_federated_asr_tpu.federated import (
+        FederatedConfig, FederatedEngine)
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    samples = int(16000 * seconds)
+    tok = CTCCharTokenizer()
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+
+    def mk_examples(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            arr = r.normal(0, 0.5, size=samples).astype(np.float32)
+            text = "THE BOY IS STEALING COOKIES FROM THE JAR"[: 8 + i % 24]
+            out.append(AsrExample(
+                path=f"S{seed}{i:03d}_PAR_0_0.wav", array=arr, text=text,
+                dementia_label=i % 2, input_values=arr,
+                labels=np.asarray(tok.encode(text), dtype=np.int32)))
+        return out
+
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=n_clients, frac=1.0, local_ep=1,
+        batch_size=batch, time_multiple=samples, warmup_steps=1,
+        compute_dtype="bfloat16")
+    eng = FederatedEngine(
+        cfg, fcfg,
+        {i: mk_examples(utts_per_client, seed=i) for i in range(n_clients)},
+        None, None, tok, params)
+
+    t0 = time.perf_counter()
+    eng.run_rounds(stage=stage, num_rounds=1)  # compile + run
+    compile_and_first = time.perf_counter() - t0
+    n_timed = 4
+    t0 = time.perf_counter()
+    # ONE multi-round call: cross-round build/execute overlap only engages
+    # within a run_rounds invocation
+    eng.run_rounds(stage=stage, num_rounds=n_timed)
+    dt = (time.perf_counter() - t0) / n_timed
+    utts = n_clients * utts_per_client
+    print(json.dumps({
+        "config": f"flround st={stage} K={n_clients} "
+                  f"{utts_per_client}utt x {seconds}s B={batch}",
+        "first_round_incl_compile_s": round(compile_and_first, 1),
+        "round_ms": round(dt * 1e3, 1),
+        "utt_per_sec": round(utts / dt, 1)}), flush=True)
 
 
 def bench_posconv(b=16, t=249):
