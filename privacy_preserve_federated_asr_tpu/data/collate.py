@@ -126,31 +126,49 @@ class LengthBucketBatcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def epoch(self, epoch_seed: int | None = None) -> Iterator[Batch]:
-        """Yield padded batches in shuffled order."""
+    @property
+    def examples(self) -> list[AsrExample]:
+        """Canonical (filtered, length-sorted) example order — the index
+        space of :meth:`epoch_indices`."""
+        return self._sorted
+
+    def _epoch_groups(self, epoch_seed: int | None) -> Iterator[list[int]]:
+        """Shuffled batch groups as indices into ``self.examples``."""
         rng0 = (np.random.default_rng(epoch_seed)
                 if epoch_seed is not None else self._rng)
+        n = len(self._sorted)
         if self.shuffle_window:
-            pool = [self._sorted[i] for i in rng0.permutation(len(self._sorted))]
+            pool = list(rng0.permutation(n))
             win = self.batch_size * self.shuffle_window
-            resorted = []
-            for i in range(0, len(pool), win):
+            order: list[int] = []
+            for i in range(0, n, win):
                 chunk = pool[i : i + win]
-                chunk.sort(key=lambda e: len(e.input_values))
-                resorted.extend(chunk)
-            source = resorted
+                chunk.sort(key=lambda j: len(self._sorted[j].input_values))
+                order.extend(chunk)
         else:
-            source = self._sorted
+            order = list(range(n))
         groups = [
-            source[i : i + self.batch_size]
-            for i in range(0, len(source), self.batch_size)
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
         ]
         if self.drop_last and groups and len(groups[-1]) < self.batch_size:
             groups = groups[:-1]
         for gi in rng0.permutation(len(groups)):
+            yield groups[gi]
+
+    def epoch(self, epoch_seed: int | None = None) -> Iterator[Batch]:
+        """Yield padded batches in shuffled order."""
+        for group in self._epoch_groups(epoch_seed):
             yield pad_batch(
-                groups[gi],
+                [self._sorted[j] for j in group],
                 time_multiple=self.time_multiple,
                 label_multiple=self.label_multiple,
                 pad_to_size=self.batch_size,
             )
+
+    def epoch_indices(self, epoch_seed: int | None = None) -> Iterator[list[int]]:
+        """Same batch composition/order as :meth:`epoch`, but as indices into
+        ``self.examples``, padded to ``batch_size`` with -1 (masked rows).
+        Used by the device-resident federated data path."""
+        for group in self._epoch_groups(epoch_seed):
+            yield group + [-1] * (self.batch_size - len(group))

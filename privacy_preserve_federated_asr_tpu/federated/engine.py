@@ -56,6 +56,23 @@ from .multitask import (
 STAGE_NETWORK = {0: "ASR", 1: "AD", 2: "toggling_network"}
 
 
+def _gather_batch(data: DeviceBatch, idx: jax.Array) -> DeviceBatch:
+    """Materialize one training batch from device-resident per-client data
+    by row indices; idx == -1 marks padding rows (zero lengths -> zero CTC
+    frames -> zero loss, sample_mask 0 — identical semantics to the staged
+    path's zero-padded rows)."""
+    safe = jnp.clip(idx, 0, data.input_values.shape[0] - 1)
+    mask = idx >= 0
+    return DeviceBatch(
+        input_values=data.input_values[safe],
+        input_lengths=jnp.where(mask, data.input_lengths[safe], 0),
+        labels=jnp.where(mask[:, None], data.labels[safe], -100),
+        label_lengths=jnp.where(mask, data.label_lengths[safe], 0),
+        dementia_labels=jnp.where(mask, data.dementia_labels[safe], 0),
+        sample_mask=mask.astype(jnp.float32) * data.sample_mask[safe],
+    )
+
+
 @dataclass
 class FederatedConfig:
     num_rounds: int = 10            # args.epochs
@@ -79,6 +96,13 @@ class FederatedConfig:
     log_dir: str = "./saves/log"
     fedavg_weighted: bool = False   # reference uses an unweighted mean
     mesh: Any = None                # jax.sharding.Mesh with a "client" axis
+    # Keep client datasets resident on device across rounds and send only
+    # per-round batch-index permutations (client data is static: every round
+    # runs local_ep whole-dataset epochs, so per-round staging re-uploads
+    # identical bytes). None = auto: on for single-device runs under ~6 GB
+    # of audio, off when a mesh is set (client-axis locality of the staged
+    # path is kept there).
+    resident_client_data: bool | None = None
     # 1 = supervised only; 0.5 = unsupervised (pseudo-labeled) phase then
     # supervised phase per round; 0 = unsupervised only
     # (reference: options.py --supervised_level, update.py update_weights)
@@ -113,6 +137,7 @@ class FederatedEngine:
         self._eval_trainers: dict[int, Trainer] = {}
         self._pseudo_fwd = None  # cached jitted stochastic-decode forward
         self._last_dead_step_frac = 0.0  # padding overhead of the last round
+        self._resident_cache: dict = {}  # id(source) -> (data_all, batchers)
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -208,6 +233,86 @@ class FederatedEngine:
         stacks, lls = jax.tree.map(lambda *xs: jnp.stack(xs), *stacked_nbest)
         return batches_kd, stacks, lls
 
+    def _resident_enabled(self, source: dict) -> bool:
+        f = self.fcfg
+        if f.mesh is not None:
+            return False
+        if f.resident_client_data is not None:
+            return f.resident_client_data
+        # auto: cap the resident audio footprint
+        nbytes = sum(4 * len(e.input_values)
+                     for exs in source.values() for e in exs)
+        return nbytes < 6e9
+
+    def _ensure_resident(self, source: dict):
+        """Upload every client's full (filtered, length-sorted) dataset once
+        as stacked [K_total, N, ...] device arrays; later rounds send only
+        int32 index permutations."""
+        key = id(source)
+        if key in self._resident_cache:
+            return self._resident_cache[key]
+        f = self.fcfg
+        ids = sorted(source.keys(), key=str)
+        batchers = {
+            cid: LengthBucketBatcher(
+                source[cid], f.batch_size, time_multiple=f.time_multiple,
+                label_multiple=f.label_multiple, seed=f.seed,
+                max_samples=f.max_samples, shuffle_window=f.shuffle_window)
+            for cid in ids
+        }
+        all_exs = [e for b in batchers.values() for e in b.examples]
+        mult = f.time_multiple
+
+        def up(x, m):
+            return -(-x // m) * m
+
+        t_max = up(max(len(e.input_values) for e in all_exs), mult)
+        l_max = up(max(len(e.labels) for e in all_exs), f.label_multiple)
+        n_max = max(len(b.examples) for b in batchers.values())
+        k = len(ids)
+        iv = np.zeros((k, n_max, t_max), np.float32)
+        il = np.zeros((k, n_max), np.int32)
+        lab = np.full((k, n_max, l_max), -100, np.int32)
+        ll = np.zeros((k, n_max), np.int32)
+        dem = np.zeros((k, n_max), np.int32)
+        sm = np.zeros((k, n_max), np.float32)
+        for ki, cid in enumerate(ids):
+            for j, e in enumerate(batchers[cid].examples):
+                iv[ki, j, : len(e.input_values)] = e.input_values
+                il[ki, j] = len(e.input_values)
+                lab[ki, j, : len(e.labels)] = e.labels
+                ll[ki, j] = len(e.labels)
+                dem[ki, j] = e.dementia_label
+                sm[ki, j] = 1.0
+        data_all = DeviceBatch(
+            input_values=jnp.asarray(iv), input_lengths=jnp.asarray(il),
+            labels=jnp.asarray(lab), label_lengths=jnp.asarray(ll),
+            dementia_labels=jnp.asarray(dem), sample_mask=jnp.asarray(sm))
+        self._resident_cache[key] = (data_all, batchers, ids)
+        return self._resident_cache[key]
+
+    def _client_round_indices(self, cids, round_idx: int, source: dict):
+        """Per-round batch compositions as [m, steps, B] indices into the
+        resident data (same epoch seeds/order as the staged path)."""
+        data_all, batchers, ids = self._ensure_resident(source)
+        f = self.fcfg
+        per = []
+        for cid in cids:
+            groups: list[list[int]] = []
+            for ep in range(f.local_ep):
+                groups.extend(batchers[cid].epoch_indices(
+                    epoch_seed=f.seed + 1000 * round_idx + ep))
+            per.append(groups)
+        steps = max(len(g) for g in per)
+        real = sum(len(g) for g in per)
+        self._last_dead_step_frac = 1.0 - real / (steps * len(per))
+        arr = np.full((len(cids), steps, f.batch_size), -1, np.int32)
+        for ki, groups in enumerate(per):
+            for s, g in enumerate(groups):
+                arr[ki, s] = g
+        csel = np.asarray([ids.index(c) for c in cids], np.int32)
+        return (data_all, jnp.asarray(csel), jnp.asarray(arr))
+
     def _round_pseudo_labels(self, cids, stage: int, round_idx: int) -> dict:
         """Per-client N-best pseudo transcripts from the CURRENT global model
         (the reference regenerates transcripts at every local update with the
@@ -279,11 +384,22 @@ class FederatedEngine:
                     step=jnp.zeros((), jnp.int32), params=p,
                     opt_state=tx.init(p), rng=sub)
 
-                def body(st, batch, _step=train_step):
-                    st, metrics = _step(st, batch)
-                    return st, metrics["loss"]
+                if kind == "res":
+                    # device-resident data: scan over index rows, gather
+                    # each batch on device
+                    data_c, idx = batches
 
-                state, phase_losses = jax.lax.scan(body, state, batches)
+                    def body(st, idx_b, _step=train_step, _d=data_c):
+                        st, metrics = _step(st, _gather_batch(_d, idx_b))
+                        return st, metrics["loss"]
+
+                    state, phase_losses = jax.lax.scan(body, state, idx)
+                else:
+                    def body(st, batch, _step=train_step):
+                        st, metrics = _step(st, batch)
+                        return st, metrics["loss"]
+
+                    state, phase_losses = jax.lax.scan(body, state, batches)
                 params = state.params
                 if kind == "mt":  # 1-best head becomes lm_head; scratch dropped
                     params = copy_first_head_to_lm_head(params)
@@ -294,9 +410,20 @@ class FederatedEngine:
 
         def round_fn(global_params, stacked_phases, rngs, sample_counts):
             k = rngs.shape[0]
+            per_client = []
+            for (kind, _), ph in zip(phase_specs, stacked_phases):
+                if kind == "res":
+                    # select the sampled clients' rows from the resident
+                    # [K_total, ...] data (on-device gather, no transfer)
+                    data_all, csel, idx = ph
+                    per_client.append(
+                        (jax.tree.map(lambda x: x[csel], data_all), idx))
+                else:
+                    per_client.append(ph)
             stacked = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), global_params)
-            new_params, losses = jax.vmap(local_train)(stacked, stacked_phases, rngs)
+            new_params, losses = jax.vmap(local_train)(
+                stacked, tuple(per_client), rngs)
             weights = sample_counts if f.fedavg_weighted else None
             avg = fedavg_stacked(new_params, weights)
             new_global = graft_network(global_params, avg, network)
@@ -338,14 +465,24 @@ class FederatedEngine:
                 phases.append(data)
                 specs.append(("mt", data[0].input_values.shape[1]))
             else:  # plain CTC on teacher 1-best transcripts
-                data = self._client_round_batches(
-                    cids, rnd, source=self.client_unsup_examples)
+                src = self.client_unsup_examples
+                if self._resident_enabled(src):
+                    data = self._client_round_indices(cids, rnd, src)
+                    phases.append(data)
+                    specs.append(("res", data[2].shape[1]))
+                else:
+                    data = self._client_round_batches(cids, rnd, source=src)
+                    phases.append(data)
+                    specs.append(("sup", data.input_values.shape[1]))
+        if sl > 0.0:  # supervised phase
+            if self._resident_enabled(self.client_examples):
+                data = self._client_round_indices(cids, rnd, self.client_examples)
+                phases.append(data)
+                specs.append(("res", data[2].shape[1]))
+            else:
+                data = self._client_round_batches(cids, rnd)
                 phases.append(data)
                 specs.append(("sup", data.input_values.shape[1]))
-        if sl > 0.0:  # supervised phase
-            data = self._client_round_batches(cids, rnd)
-            phases.append(data)
-            specs.append(("sup", data.input_values.shape[1]))
         return tuple(phases), tuple(specs), self._last_dead_step_frac
 
     def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:

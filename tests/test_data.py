@@ -122,3 +122,37 @@ def test_shuffle_window_reshuffles_membership():
     # same seed -> identical epochs
     e1b = [set(x.paths) for x in b.epoch(epoch_seed=1)]
     assert e1 == e1b
+
+
+def test_epoch_indices_matches_epoch():
+    """epoch_indices must produce the same batch composition and order as
+    epoch (both fixed-membership and shuffle_window modes)."""
+    import numpy as np
+
+    from privacy_preserve_federated_asr_tpu.data.collate import (
+        LengthBucketBatcher)
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+
+    rng = np.random.default_rng(0)
+    exs = []
+    for i in range(11):
+        ln = 1600 + 320 * int(rng.integers(0, 8))
+        arr = rng.normal(0, 1, size=ln).astype(np.float32)
+        exs.append(AsrExample(
+            path=f"u{i}.wav", array=arr, text="HI", dementia_label=i % 2,
+            input_values=arr, labels=np.asarray([4, 5], dtype=np.int32)))
+
+    for sw in (None, 2):
+        b = LengthBucketBatcher(exs, 4, time_multiple=1600, seed=0,
+                                shuffle_window=sw)
+        for seed in (0, 7):
+            idx_groups = list(b.epoch_indices(epoch_seed=seed))
+            batches = list(b.epoch(epoch_seed=seed))
+            assert len(idx_groups) == len(batches)
+            for g, bt in zip(idx_groups, batches):
+                assert len(g) == 4
+                real = [j for j in g if j >= 0]
+                assert [b.examples[j].path for j in real] == bt.paths
+                assert all(j == -1 for j in g[len(real):])
+                np.testing.assert_array_equal(
+                    bt.sample_mask, [1.0] * len(real) + [0.0] * (4 - len(real)))

@@ -281,3 +281,39 @@ def test_engine_multitask_matches_standalone_local_update():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6),
         got, want)
+
+
+def test_resident_matches_staged_round():
+    """Device-resident client data (upload once + per-round index gathers)
+    must reproduce the staged path exactly — variable lengths, uneven
+    client sizes (dead steps), 2 rounds."""
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            ln = [3200, 6400, 3200, 4800][i % 4]
+            text = ["HI", "YES", "NO WAY", "OK GO"][i % 4]
+            arr = rng.normal(0, 1, size=ln).astype(np.float32)
+            out.append(AsrExample(
+                path=f"S{seed}{i:02d}_PAR_0_0.wav", array=arr, text=text,
+                dementia_label=i % 2, input_values=arr,
+                labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+        return out
+
+    results = {}
+    for resident in (False, True):
+        cfg = _tiny_cfg(stage=0)
+        params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+        fcfg = FederatedConfig(
+            num_rounds=2, num_clients=2, frac=1.0, local_ep=1, global_ep=1,
+            batch_size=2, time_multiple=3200, seed=0, warmup_steps=1,
+            resident_client_data=resident)
+        clients = {0: mk(5, seed=1), 1: mk(3, seed=2)}
+        eng = FederatedEngine(cfg, fcfg, clients, mk(4, seed=3), None, TOK,
+                              jax.tree.map(np.array, params))
+        results[resident] = jax.device_get(
+            eng.run_rounds(stage=0, num_rounds=2))
+        assert eng._last_dead_step_frac > 0  # 3 vs 2 steps -> dead step
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        results[True], results[False])
