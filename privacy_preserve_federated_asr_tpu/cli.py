@@ -183,6 +183,10 @@ def cmd_federated(args):
     import jax
 
     _maybe_fast_rng(args)
+    if args.scan_layers or args.dp > 1:
+        print("[federated] note: --scan_layers/--dp apply to `train`/`sweep` "
+              "only; FL parallelism is the engine's (client, data) mesh "
+              "(FederatedConfig.mesh)")
 
     from .data.splits import CLIENT_SPLITS_ADRESS, filter_by_speakers
     from .federated import FederatedConfig, FederatedEngine
@@ -451,7 +455,8 @@ def cmd_sweep(args):
         tcfg = TrainerConfig(
             num_epochs=args.epochs, batch_size=args.train_batch_size,
             eval_batch_size=args.eval_batch_size, seed=args.seed,
-            compute_dtype=args.compute_dtype, log_file=args.log_path)
+            compute_dtype=args.compute_dtype, log_file=args.log_path,
+            scan_layers=args.scan_layers, dp=args.dp)
         sweep_asr(grid, cfg, tcfg, params, train_exs, test_exs, tok,
                   results_csv=args.results_csv)
 

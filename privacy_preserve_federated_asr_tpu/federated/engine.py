@@ -235,14 +235,31 @@ class FederatedEngine:
 
     def _resident_enabled(self, source: dict) -> bool:
         f = self.fcfg
+        if f.resident_client_data and f.mesh is not None:
+            raise ValueError(
+                "resident_client_data=True is not supported with a mesh "
+                "(the staged path keeps client-axis data locality there); "
+                "leave it None/False when fcfg.mesh is set")
         if f.mesh is not None:
             return False
         if f.resident_client_data is not None:
             return f.resident_client_data
-        # auto: cap the resident audio footprint
-        nbytes = sum(4 * len(e.input_values)
-                     for exs in source.values() for e in exs)
-        return nbytes < 6e9
+        # auto: cap the footprint of the DENSE-PADDED [K, n_max, t_max]
+        # resident array (can be far larger than the raw audio bytes when
+        # client sizes or utterance lengths are skewed)
+        def n_used(exs):
+            return sum(1 for e in exs
+                       if f.max_samples is None
+                       or len(e.input_values) <= f.max_samples)
+
+        lens = [len(e.input_values) for exs in source.values() for e in exs
+                if f.max_samples is None or len(e.input_values) <= f.max_samples]
+        if not lens:
+            return False
+        t_max = -(-max(lens) // f.time_multiple) * f.time_multiple
+        n_max = max(n_used(exs) for exs in source.values())
+        padded_bytes = 4 * len(source) * n_max * t_max
+        return padded_bytes < 6e9
 
     def _ensure_resident(self, source: dict):
         """Upload every client's full (filtered, length-sorted) dataset once
@@ -288,13 +305,15 @@ class FederatedEngine:
             input_values=jnp.asarray(iv), input_lengths=jnp.asarray(il),
             labels=jnp.asarray(lab), label_lengths=jnp.asarray(ll),
             dementia_labels=jnp.asarray(dem), sample_mask=jnp.asarray(sm))
-        self._resident_cache[key] = (data_all, batchers, ids)
+        # the source dict itself is kept in the value so the id() key can
+        # never be recycled by the allocator while the cache entry lives
+        self._resident_cache[key] = (data_all, batchers, ids, source)
         return self._resident_cache[key]
 
     def _client_round_indices(self, cids, round_idx: int, source: dict):
         """Per-round batch compositions as [m, steps, B] indices into the
         resident data (same epoch seeds/order as the staged path)."""
-        data_all, batchers, ids = self._ensure_resident(source)
+        data_all, batchers, ids, _ = self._ensure_resident(source)
         f = self.fcfg
         per = []
         for cid in cids:
@@ -456,7 +475,7 @@ class FederatedEngine:
         run one round ahead unless a phase needs the current global params
         (round-time pseudo-labeling, num_lms > 1)."""
         sl = self.fcfg.supervised_level
-        phases, specs = [], []
+        phases, specs, dead_fracs = [], [], []
         if sl < 1.0:  # unsupervised (pseudo-labeled) phase first
             if self.cfg.num_lms > 1:  # N-best multitask client update
                 pseudo = self._round_pseudo_labels(cids, stage, rnd)
@@ -474,6 +493,7 @@ class FederatedEngine:
                     data = self._client_round_batches(cids, rnd, source=src)
                     phases.append(data)
                     specs.append(("sup", data.input_values.shape[1]))
+            dead_fracs.append(self._last_dead_step_frac)
         if sl > 0.0:  # supervised phase
             if self._resident_enabled(self.client_examples):
                 data = self._client_round_indices(cids, rnd, self.client_examples)
@@ -483,7 +503,9 @@ class FederatedEngine:
                 data = self._client_round_batches(cids, rnd)
                 phases.append(data)
                 specs.append(("sup", data.input_values.shape[1]))
-        return tuple(phases), tuple(specs), self._last_dead_step_frac
+            dead_fracs.append(self._last_dead_step_frac)
+        # report the worst phase's padding overhead for the round
+        return tuple(phases), tuple(specs), max(dead_fracs, default=0.0)
 
     def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:
         """FedAvg rounds (reference FL_training_rounds,
@@ -505,7 +527,14 @@ class FederatedEngine:
         ]
         built = ((rnd, cids, self._build_round(stage, rnd, cids))
                  for rnd, cids in plan)
-        if self.cfg.num_lms == 1:  # no round-time pseudo-labeling
+        sl = f.supervised_level
+        sources = ([self.client_unsup_examples] if sl < 1.0 else []) + \
+                  ([self.client_examples] if sl > 0.0 else [])
+        # overlap round building with execution only when (a) no phase needs
+        # the current global params (num_lms == 1) and (b) every phase is
+        # device-resident — prefetching STAGED rounds would keep up to 3
+        # rounds of full client data live at once (index arrays are bytes)
+        if self.cfg.num_lms == 1 and all(map(self._resident_enabled, sources)):
             built = prefetch_iter(built, depth=1)
         for rnd, cids, (phases, specs, dead_frac) in built:
             round_fn = self._get_round_fn(stage, specs)

@@ -8,13 +8,17 @@ thread staging ``depth`` batches ahead overlaps that host work and the
 transfer with device compute — the standard JAX input-pipeline pattern
 (equivalent role to the reference's HF DataLoader worker processes,
 dataloader_num_workers, which this framework otherwise has no need for).
+
+Both generators release their worker thread when the consumer abandons
+them early (exception or break): the worker checks a stop flag around every
+bounded put, so no staged device buffers stay pinned by a blocked thread.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 from ..data.collate import Batch
 from .steps import DeviceBatch
@@ -27,6 +31,41 @@ class _Failure:
         self.exc = exc
 
 
+def _producer_consumer(items: Iterable, depth: int, stage: Callable) -> Iterator:
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(x) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            for item in items:
+                if not _put((stage(item),)):
+                    return  # consumer gone: drop staged work, exit
+            _put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
+            _put(_Failure(e))
+
+    threading.Thread(target=worker, daemon=True, name="prefetch").start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, _Failure):
+                raise item.exc
+            yield item[0]
+    finally:
+        stop.set()  # unblock the worker if the consumer leaves early
+
+
 def prefetch_iter(items: Iterable, depth: int = 1) -> Iterator:
     """Generic producer thread: evaluate ``items`` up to ``depth`` elements
     ahead of the consumer (used by the federated engine to overlap host-side
@@ -35,24 +74,7 @@ def prefetch_iter(items: Iterable, depth: int = 1) -> Iterator:
     if depth <= 0:
         yield from items
         return
-    q: queue.Queue = queue.Queue(maxsize=depth)
-
-    def worker():
-        try:
-            for x in items:
-                q.put((x,))
-            q.put(_END)
-        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
-            q.put(_Failure(e))
-
-    threading.Thread(target=worker, daemon=True, name="iter-prefetch").start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, _Failure):
-            raise item.exc
-        yield item[0]
+    yield from _producer_consumer(items, depth, lambda x: x)
 
 
 def prefetch_device_batches(
@@ -64,35 +86,16 @@ def prefetch_device_batches(
     (a jax.sharding.Sharding) places every leaf — e.g. batch-dim sharding
     over a "data" mesh for data-parallel training."""
 
-    def stage(b: Batch) -> DeviceBatch:
+    def stage(b: Batch) -> tuple[Batch, DeviceBatch]:
         db = DeviceBatch.from_host(b)
         if sharding is not None:
             import jax
 
             db = jax.device_put(db, sharding)
-        return db
+        return b, db
 
     if depth <= 0:
         for b in batches:
-            yield b, stage(b)
+            yield stage(b)
         return
-
-    q: queue.Queue = queue.Queue(maxsize=depth)
-
-    def worker():
-        try:
-            for b in batches:
-                q.put((b, stage(b)))
-            q.put(_END)
-        except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
-            q.put(_Failure(e))
-
-    t = threading.Thread(target=worker, daemon=True, name="batch-prefetch")
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, _Failure):
-            raise item.exc
-        yield item
+    yield from _producer_consumer(batches, depth, stage)

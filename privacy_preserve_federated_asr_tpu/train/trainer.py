@@ -139,6 +139,7 @@ class Trainer:
             make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
         eval_step = make_eval_step(self.model, cfg)
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
+        self._eval_cache = None  # staged eval batches (eval set is static)
 
     # ---- host loops ----
 
@@ -162,8 +163,15 @@ class Trainer:
                 tree = CheckpointManager(
                     str(Path(where).parent)).restore(Path(where).name,
                                                      template=template)
-            except Exception:
-                tree = load_params(where)  # params-only export
+            except Exception as e:
+                # params-only export (a "final" dir), or a full checkpoint
+                # whose opt_state layout no longer matches (e.g. saved
+                # before an optimizer-structure change) — say so: optimizer
+                # moments / step / rng restart from scratch in that case
+                print(f"[resume] full-state restore failed ({type(e).__name__}); "
+                      f"falling back to params-only load from {where} — "
+                      "optimizer state, step count and rng are reinitialized")
+                tree = load_params(where)
         if isinstance(tree, dict) and "opt_state" in tree:  # full state
             self.state = DACSTrainState(
                 step=jnp.asarray(tree["step"]), params=tree["params"],
@@ -180,11 +188,15 @@ class Trainer:
 
     def evaluate(self) -> dict:
         assert self.eval_batcher is not None
+        if self._eval_cache is None:
+            # the eval set and its batching (epoch_seed=0) are static: stage
+            # to device once, reuse every evaluation (in FL, every round)
+            self._eval_cache = list(prefetch_device_batches(
+                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch,
+                self._batch_sharding))
         refs, hyps, losses = [], [], []
         ad_correct = ad_total = 0
-        for b, db in prefetch_device_batches(
-                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch,
-                self._batch_sharding):
+        for b, db in self._eval_cache:
             loss, pred_ids, ad_pred = self._eval_step(self.state, db)
             pred_ids = np.asarray(pred_ids)
             ad_pred = np.asarray(ad_pred)

@@ -300,3 +300,22 @@ def test_trainer_dp_matches_single_device():
     enc2 = p2["backbone"]["encoder"]["layers_0"]["attention"]["q_proj"]["kernel"]
     np.testing.assert_allclose(np.asarray(enc2), np.asarray(enc1),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_prefetch_worker_released_on_abandon():
+    """Abandoning a prefetch generator (break/close) must release its worker
+    thread instead of leaving it blocked on the queue forever."""
+    import threading
+    import time
+
+    from privacy_preserve_federated_asr_tpu.train.prefetch import prefetch_iter
+
+    before = threading.active_count()
+    it = prefetch_iter(iter(range(1000)), depth=1)
+    assert next(it) == 0
+    it.close()  # consumer abandons early
+    for _ in range(100):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.05)
+    assert threading.active_count() <= before
