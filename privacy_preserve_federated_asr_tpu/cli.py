@@ -475,6 +475,21 @@ def cmd_feat_scoring(args):
     print(json.dumps({k: float(np.mean(v)) for k, v in {**stats, **rates}.items()}))
 
 
+def cmd_pkl2csv(args):
+    """Extraction pkl -> CSV with the text columns (reference:
+    centralized/utils/PKL2csv.py — path/text/dementia_labels/pred_str
+    [+Summary] kept, arrays dropped)."""
+    import pandas as pd
+
+    with open(args.pkl, "rb") as f:
+        df = pd.DataFrame(pickle.load(f))
+    cols = [c for c in ("path", "text", "dementia_labels", "pred_str", "Summary")
+            if c in df.columns]
+    out = args.out or str(Path(args.pkl).with_suffix(".csv"))
+    df[cols].to_csv(out, index=False)
+    print(json.dumps({"rows": len(df), "columns": cols, "csv": out}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="privacy_preserve_federated_asr_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -543,6 +558,11 @@ def main(argv=None):
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_text)
+
+    p = sub.add_parser("pkl2csv", help="extraction pkl -> text-columns CSV")
+    p.add_argument("--pkl", required=True)
+    p.add_argument("--out", default=None, help="default: <pkl>.csv")
+    p.set_defaults(fn=cmd_pkl2csv)
 
     p = sub.add_parser("sweep", help="replay the reference run_*.sh sweep grids")
     sweep_sub = p.add_subparsers(dest="target", required=True)

@@ -168,3 +168,26 @@ def test_cli_sweep_asr_grid(data_dir, tmp_path, capsys):
     rows = [json.loads(l) for l in out_lines if l.startswith("{")]
     assert any("best" in r for r in rows)
     assert sum("eval_wer" in r for r in rows) == 2
+
+
+def test_cli_pkl2csv(tmp_path, capsys):
+    """pkl2csv keeps the reference's text columns and drops arrays
+    (centralized/utils/PKL2csv.py)."""
+    import pickle
+
+    rows = [
+        {"path": "a.wav", "text": "HI", "dementia_labels": 0,
+         "pred_str": "HI", "hidden_states": np.zeros((3, 4))},
+        {"path": "b.wav", "text": "NO", "dementia_labels": 1,
+         "pred_str": "GO", "hidden_states": np.ones((3, 4))},
+    ]
+    pkl = tmp_path / "ex.pkl"
+    import pandas as pd
+    with open(pkl, "wb") as f:
+        pickle.dump(pd.DataFrame(rows), f)
+    main(["pkl2csv", "--pkl", str(pkl)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 2 and "hidden_states" not in out["columns"]
+    df = pd.read_csv(tmp_path / "ex.csv")
+    assert list(df.columns) == ["path", "text", "dementia_labels", "pred_str"]
+    assert df["pred_str"].tolist() == ["HI", "GO"]
