@@ -309,6 +309,46 @@ def cmd_svm(args):
     print(json.dumps(m))
 
 
+def _build_bert_embed(args):
+    """Ported HF BERT checkpoint (--bert_checkpoint + --vocab) -> a
+    texts -> [B, hidden] pooled-embedding callable (+ its width)."""
+    import torch
+
+    from .text.bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
+    from .text.classifier import embed_sessions
+
+    sd = torch.load(args.bert_checkpoint, map_location="cpu", weights_only=True)
+    n_layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
+    hidden = sd["embeddings.word_embeddings.weight"].shape[1]
+    # geometry not derivable from the state dict: prefer the HF config.json
+    # sitting next to the checkpoint, else the standard head_dim=64 rule
+    heads, cfg_json = None, Path(args.bert_checkpoint).parent / "config.json"
+    if cfg_json.exists():
+        with open(cfg_json) as f:
+            hf_cfg = json.load(f)
+        heads = hf_cfg.get("num_attention_heads")
+    if heads is None:
+        heads = (hidden // 64 if hidden % 64 == 0 and hidden >= 64
+                 else max(h for h in (8, 4, 2, 1) if hidden % h == 0))
+    bcfg = BertConfigT(
+        vocab_size=sd["embeddings.word_embeddings.weight"].shape[0],
+        hidden_size=hidden,
+        num_hidden_layers=n_layers,
+        num_attention_heads=heads,
+        intermediate_size=sd["encoder.layer.0.intermediate.dense.weight"].shape[0],
+        max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0])
+    params = port_hf_bert(sd, bcfg)
+    enc = BertEncoder(bcfg)
+    tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+
+    def embed(texts):
+        return embed_sessions(
+            lambda ids, mask: enc.apply({"params": params}, ids, mask)[1],
+            tok, texts)
+
+    return embed, bcfg.hidden_size
+
+
 def cmd_text(args):
     """Text-branch AD classification over session documents assembled from
     an extraction pkl (reference 0207_DM_* experiment scripts).
@@ -333,10 +373,21 @@ def cmd_text(args):
 
     if args.experiment:  # named 0207_DM_* registry experiment
         from .text.classifier import TextTrainerConfig as _TTC
-        from .text.experiments import run_experiment
+        from .text.experiments import EXPERIMENTS, run_experiment
 
+        backends = None
+        if args.bert_checkpoint:
+            # the ported checkpoint serves every TEXT backend in the spec
+            # (the classifier sizes itself from the actual width); audio
+            # backends keep the offline fallback
+            from .text.experiments import TEXT_BACKENDS
+
+            embed, _ = _build_bert_embed(args)
+            spec = EXPERIMENTS[args.experiment]
+            backends = {i.backend: embed for i in spec.inputs
+                        if i.backend in TEXT_BACKENDS}
         out = run_experiment(
-            args.experiment, train_rows, test_rows,
+            args.experiment, train_rows, test_rows, backends=backends,
             tcfg=_TTC(num_epochs=args.epochs,
                       batch_size=args.train_batch_size,
                       learning_rate=args.learning_rate or 1e-3,
@@ -358,27 +409,7 @@ def cmd_text(args):
     y_train_map, y_test_map = labels_of(train_rows), labels_of(test_rows)
 
     if args.bert_checkpoint:
-        import torch
-
-        from .text.bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
-        from .text.classifier import embed_sessions
-
-        sd = torch.load(args.bert_checkpoint, map_location="cpu", weights_only=True)
-        n_layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
-        bcfg = BertConfigT(
-            vocab_size=sd["embeddings.word_embeddings.weight"].shape[0],
-            hidden_size=sd["embeddings.word_embeddings.weight"].shape[1],
-            num_hidden_layers=n_layers,
-            max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0])
-        params = port_hf_bert(sd, bcfg)
-        enc = BertEncoder(bcfg)
-        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
-
-        def embed(texts):
-            return embed_sessions(
-                lambda ids, mask: enc.apply({"params": params}, ids, mask)[1],
-                tok, texts)
-        dim = bcfg.hidden_size
+        embed, dim = _build_bert_embed(args)
     else:
         dim = 256
 

@@ -58,8 +58,11 @@ class ExperimentSpec:
                                    # consistency | param_tuning | extract_aug
 
     def classifier_config(self, hidden_dim: int | None = None,
-                          dropout: float = 0.1) -> TextClassifierConfig:
-        dims = tuple(i.dim for i in self.inputs)
+                          dropout: float = 0.1,
+                          dims: tuple[int, ...] | None = None) -> TextClassifierConfig:
+        # ``dims`` overrides the reference encoder widths when custom
+        # embedding backends of a different width are plugged in
+        dims = tuple(dims) if dims is not None else tuple(i.dim for i in self.inputs)
         return TextClassifierConfig(
             embed_dim=dims[0],
             # reference heads size clf1 by the fused width (sum of inputs
@@ -205,21 +208,42 @@ def rows_to_experiment_data(
     return ExperimentData(inputs=inputs, labels=labels)
 
 
+# registry backends that embed TEXT (servable by a ported BERT checkpoint);
+# en/gr/multi/wv are the reference's wav2vec-xlsr AUDIO encoders
+TEXT_BACKENDS = frozenset({"mbert", "xlm", "bert", "anomia", "semb"})
+
+
+def embed_experiment_parts(
+    spec: ExperimentSpec,
+    data: ExperimentData,
+    backends: Mapping[str, Callable[[Sequence[str]], np.ndarray]] | None = None,
+) -> list[np.ndarray]:
+    """Embed every input with its backend. A custom backend may return any
+    width (the classifier sizes itself from the actual embeddings); the
+    offline fallback must match the reference encoder width."""
+    parts = []
+    for ispec, texts in zip(spec.inputs, data.inputs):
+        custom = (backends or {}).get(ispec.backend)
+        fn = custom or hash_embed_backend(ispec.dim)
+        emb = np.asarray(fn(texts), dtype=np.float32)
+        assert emb.ndim == 2 and emb.shape[0] == len(texts), (
+            f"backend {ispec.backend} returned {emb.shape} for {len(texts)} texts")
+        if custom is None:
+            assert emb.shape[1] == ispec.dim, (
+                f"fallback for {ispec.backend} returned width {emb.shape[1]}, "
+                f"want {ispec.dim}")
+        parts.append(emb)
+    return parts
+
+
 def embed_experiment(
     spec: ExperimentSpec,
     data: ExperimentData,
     backends: Mapping[str, Callable[[Sequence[str]], np.ndarray]] | None = None,
 ) -> np.ndarray:
-    """Embed every input with its backend and flat-concat heterogeneous
-    widths into the classifier's packed [B, sum(dims)] layout."""
-    parts = []
-    for ispec, texts in zip(spec.inputs, data.inputs):
-        fn = (backends or {}).get(ispec.backend) or hash_embed_backend(ispec.dim)
-        emb = np.asarray(fn(texts), dtype=np.float32)
-        assert emb.shape == (len(texts), ispec.dim), (
-            f"backend {ispec.backend} returned {emb.shape}, "
-            f"want (*, {ispec.dim})")
-        parts.append(emb)
+    """Flat-concat of :func:`embed_experiment_parts` into the classifier's
+    packed [B, sum(dims)] layout."""
+    parts = embed_experiment_parts(spec, data, backends)
     return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
@@ -260,15 +284,20 @@ def run_experiment(
     if spec.special == "extract_aug":
         return {"n_train": len(train.labels), "n_test": len(test.labels)}
 
-    x_train = embed_experiment(spec, train, backends)
-    x_test = embed_experiment(spec, test, backends)
+    train_parts = embed_experiment_parts(spec, train, backends)
+    test_parts = embed_experiment_parts(spec, test, backends)
+    dims = tuple(p.shape[1] for p in train_parts)
+    x_train = (np.concatenate(train_parts, axis=1)
+               if len(train_parts) > 1 else train_parts[0])
+    x_test = (np.concatenate(test_parts, axis=1)
+              if len(test_parts) > 1 else test_parts[0])
 
     if spec.special == "param_tuning":
         best = None
         for lr in (1e-3, 1e-4):
-            for hd in (sum(i.dim for i in spec.inputs), 256):
+            for hd in (sum(dims), 256):
                 m = _fit_once(spec, x_train, train.labels, x_test, test.labels,
-                              tcfg, hd, tcfg.seed, lr)
+                              tcfg, hd, tcfg.seed, lr=lr, dims=dims)
                 if best is None or m["acc"] > best["acc"]:
                     best = {**m, "lr": lr, "hidden_dim": hd}
         return best
@@ -276,7 +305,7 @@ def run_experiment(
     accs, out = [], {}
     for seed in (seeds if spec.special == "consistency" else seeds[:1]):
         out = _fit_once(spec, x_train, train.labels, x_test, test.labels,
-                        tcfg, hidden_dim, seed)
+                        tcfg, hidden_dim, seed, dims=dims)
         accs.append(out.get("acc", 0.0))
     if spec.special == "consistency":
         out["acc_spread"] = float(np.max(accs) - np.min(accs))
@@ -285,10 +314,10 @@ def run_experiment(
 
 
 def _fit_once(spec, x_train, y_train, x_test, y_test, tcfg, hidden_dim,
-              seed, lr=None) -> dict:
+              seed, lr=None, dims=None) -> dict:
     import dataclasses
 
-    cfg = spec.classifier_config(hidden_dim=hidden_dim)
+    cfg = spec.classifier_config(hidden_dim=hidden_dim, dims=dims)
     t = dataclasses.replace(tcfg, seed=seed,
                             **({"learning_rate": lr} if lr else {}))
     tr = TextTrainer(cfg, t)

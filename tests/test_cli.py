@@ -191,3 +191,51 @@ def test_cli_pkl2csv(tmp_path, capsys):
     df = pd.read_csv(tmp_path / "ex.csv")
     assert list(df.columns) == ["path", "text", "dementia_labels", "pred_str"]
     assert df["pred_str"].tolist() == ["HI", "GO"]
+
+
+def test_cli_text_experiment_with_real_bert(tmp_path, capsys):
+    """A registry experiment driven through the CLI with a real (tiny) HF
+    BERT checkpoint: the ported encoder replaces the offline fallback for
+    text backends and the classifier sizes itself from its width."""
+    import pickle
+
+    import pandas as pd
+    import torch
+    from transformers import BertConfig, BertModel
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        spk = f"S{i % 4:03d}"
+        rows.append({
+            "path": f"{spk}_PAR_{i}_0.wav",
+            "text": ["the boy is stealing cookies", "a b the", "cookies boy",
+                     "the the a"][i % 4],
+            "pred_str": "the boy",
+            "dementia_labels": i % 2,
+        })
+    for split, sel in (("train", rows[:6]), ("test", rows[6:] + rows[:2])):
+        with open(tmp_path / f"{split}.pkl", "wb") as f:
+            pickle.dump(pd.DataFrame(sel), f)
+
+    hidden = 32
+    hf_cfg = BertConfig(
+        vocab_size=200, hidden_size=hidden, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64)
+    torch.manual_seed(0)
+    sd = BertModel(hf_cfg).state_dict()
+    ckpt = tmp_path / "bert.bin"
+    torch.save(sd, ckpt)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "the", "boy", "is", "steal",
+             "##ing", "cook", "##ies", "a", "b"] + [f"tok{i}" for i in range(187)]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+
+    main(["text", "--experiment", "session_text",
+          "--train_pkl", str(tmp_path / "train.pkl"),
+          "--test_pkl", str(tmp_path / "test.pkl"),
+          "--bert_checkpoint", str(ckpt), "--vocab", str(tmp_path / "vocab.txt"),
+          "--epochs", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["experiment"] == "session_text"
+    assert 0.0 <= out["acc"] <= 1.0
