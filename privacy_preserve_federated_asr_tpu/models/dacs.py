@@ -109,6 +109,25 @@ class DACSModel(nn.Module):
         ).astype(jnp.int32)
 
         h = self.backbone(input_values, frame_mask, deterministic=backbone_deterministic)
+        return self.apply_heads(h, frame_mask, frame_lengths, deterministic,
+                                gumbel_noise, mask_override)
+
+    def apply_heads(
+        self,
+        h: jax.Array,                     # [B, T, D] encoder output (pre final dropout)
+        frame_mask: jax.Array,            # [B, T]
+        frame_lengths: jax.Array,         # [B]
+        deterministic: bool = True,
+        gumbel_noise: tuple[jax.Array, jax.Array] | None = None,
+        mask_override: tuple[jax.Array | None, jax.Array | None] | None = None,
+    ) -> DACSOutputs:
+        """Everything after the backbone. Exposed separately so frozen-
+        encoder stages (1/2: the encoder is frozen AND run deterministic,
+        reference .eval() semantics) can train heads on CACHED encoder
+        outputs — numerically identical because final dropout (live in
+        training) is applied here, after the cache point
+        (``federated/engine.py`` cached-encoder rounds)."""
+        c = self.cfg
         h = self.dropout(h, deterministic=deterministic)
 
         # --- toggling network -> masks ---

@@ -141,9 +141,19 @@ def am_softmax_loss(
 
     x = x.astype(jnp.float32)
     w = fc_weight.astype(jnp.float32)
+
+    def _safe_normalize(v):
+        # clamp INSIDE the sqrt: max() outside only guards the value — the
+        # sqrt gradient at an all-zero row (a padded batch row) is inf and
+        # poisons the whole backward with NaNs. Clamping the squared norm
+        # routes the gradient to the constant branch instead (zero rows get
+        # zero grads), and is identical for any non-degenerate row.
+        sq = jnp.sum(v * v, axis=1, keepdims=True)
+        return v * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+
     if normalize_weight:
-        w = w / jnp.maximum(jnp.linalg.norm(w, axis=1, keepdims=True), 1e-12)
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        w = _safe_normalize(w)
+    xn = _safe_normalize(x)
     wf = xn @ w.T  # [N, C]
 
     target = jnp.take_along_axis(wf, labels[:, None], axis=1)[:, 0]  # [N]

@@ -97,6 +97,72 @@ def make_train_step(
     return train_step
 
 
+@flax.struct.dataclass
+class HiddenBatch:
+    """A batch of CACHED encoder outputs for frozen-encoder stages (1/2):
+    the head-only train step consumes these instead of waveforms."""
+
+    hidden_states: jax.Array    # [B, T', D] backbone output (pre final dropout)
+    frame_lengths: jax.Array    # [B]
+    labels: jax.Array           # [B, L]
+    label_lengths: jax.Array    # [B]
+    dementia_labels: jax.Array  # [B]
+    sample_mask: jax.Array      # [B]
+
+
+def make_hidden_train_step(
+    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
+    aux_metrics: bool = False,
+):
+    """Train step over cached encoder outputs (``DACSModel.apply_heads``).
+
+    Valid exactly when the backbone is frozen AND deterministic — the DACS
+    stage-1/2 semantics (reference freezes the encoder and calls .eval() on
+    it, federated/src/models.py:311-323) — so ``backbone(x)`` is a
+    round-invariant constant per utterance. Final dropout and the Gumbel
+    noise stay live per step (they are applied after the cache point).
+    """
+    assert cfg.stage in (1, 2), "cached-encoder training needs a frozen backbone"
+    trainable = stage_trainable_predicate(cfg.stage)
+
+    def _freeze(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x if trainable(_path_strings(p))
+            else jax.lax.stop_gradient(x),
+            params,
+        )
+
+    def train_step(state: DACSTrainState, batch: HiddenBatch):
+        rngs, new_rng = state.next_rngs()
+        t = batch.hidden_states.shape[1]
+        frame_mask = (
+            jnp.arange(t)[None, :] < batch.frame_lengths[:, None]
+        ).astype(jnp.int32)
+
+        def loss_fn(params):
+            params = _freeze(params)
+            out = model.apply(
+                {"params": params}, batch.hidden_states, frame_mask,
+                batch.frame_lengths, deterministic=False, rngs=rngs,
+                method=DACSModel.apply_heads,
+            )
+            return dacs_loss(out, batch.labels, batch.label_lengths,
+                             batch.dementia_labels, cfg,
+                             params["similar_fc"]["kernel"], batch.sample_mask,
+                             aux_metrics=aux_metrics)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
 def make_multitask_train_step(
     model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
 ):

@@ -317,3 +317,39 @@ def test_resident_matches_staged_round():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         results[True], results[False])
+
+
+def test_cached_encoder_rounds_match_staged_stage2():
+    """Stage-2 rounds on CACHED encoder outputs (frozen deterministic
+    backbone computed once, heads trained on the cache) must reproduce the
+    staged full-forward path."""
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            ln = [3200, 6400, 4800][i % 3]
+            text = ["HI", "YES", "NO WAY"][i % 3]
+            arr = rng.normal(0, 1, size=ln).astype(np.float32)
+            out.append(AsrExample(
+                path=f"S{seed}{i:02d}_PAR_0_0.wav", array=arr, text=text,
+                dementia_label=i % 2, input_values=arr,
+                labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+        return out
+
+    results = {}
+    for resident in (False, True):
+        cfg = _tiny_cfg(stage=2)
+        params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+        fcfg = FederatedConfig(
+            num_rounds=2, num_clients=2, frac=1.0, local_ep=2, global_ep=1,
+            batch_size=2, time_multiple=3200, seed=0, warmup_steps=1,
+            resident_client_data=resident)
+        clients = {0: mk(4, seed=1), 1: mk(3, seed=2)}
+        eng = FederatedEngine(cfg, fcfg, clients, mk(4, seed=3), None, TOK,
+                              jax.tree.map(np.array, params))
+        results[resident] = jax.device_get(eng.run_rounds(stage=2, num_rounds=2))
+        if resident:  # the cached path actually engaged
+            assert eng._round_hidden, "hidden cache was not built"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        results[True], results[False])
