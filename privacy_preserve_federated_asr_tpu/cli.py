@@ -149,6 +149,10 @@ def _add_common(p):
     p.add_argument("-ckpt", "--checkpoint", default=None)
     p.add_argument("--no_fast_rng", action="store_true",
                    help="keep the threefry PRNG (slower dropout mask gen)")
+    p.add_argument("--no_cache_encoder", action="store_true",
+                   help="disable the frozen-backbone encoder-output cache "
+                        "(stages 1/2 default to training heads on cached "
+                        "encoder outputs — same numerics class, ~10x faster)")
 
 
 def _maybe_fast_rng(args):
@@ -173,6 +177,7 @@ def cmd_train(args):
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
         scan_layers=args.scan_layers, dp=args.dp,
+        cache_encoder=False if args.no_cache_encoder else None,
         log_file=args.log_path, save_dir=args.model_out_path,
         resume_from=args.checkpoint))
     tr.train()
@@ -269,6 +274,22 @@ def cmd_extract(args):
         if split == "":  # the reference writes Result.csv for the test set
             write_results_csv(rows, str(out_dir))
         print(f"[extract] wrote {len(rows)} rows -> {out_dir}/{args.csv_name}{split}.pkl")
+
+
+def cmd_serve(args):
+    from .data.tokenizer import CTCCharTokenizer
+    from .serving import InferenceEngine, ServingConfig, serve_forever
+
+    _maybe_fast_rng(args)
+    cfg = _dacs_cfg(args)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    engine = InferenceEngine(
+        cfg, params, CTCCharTokenizer(),
+        ServingConfig(batch_size=args.eval_batch_size,
+                      max_seconds=args.max_seconds,
+                      batch_window_ms=args.batch_window_ms))
+    serve_forever(engine, host=args.host, port=args.port,
+                  warmup=not args.no_warmup)
 
 
 def cmd_detail_wer(args):
@@ -550,6 +571,16 @@ def main(argv=None):
     p.add_argument("-csv", "--csv_name", default="extract")
     p.add_argument("--csv_out_dir", default="./saves/results")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("serve", help="batched jitted ASR+AD inference server")
+    _add_common(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--max_seconds", type=float, default=30.0)
+    p.add_argument("--batch_window_ms", type=float, default=10.0)
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip precompiling every time-bucket program")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("detail-wer", help="grouped WER report")
     p.add_argument("--pkl", required=True)

@@ -161,7 +161,11 @@ class FederatedEngine:
         self._pseudo_fwd = None  # cached jitted stochastic-decode forward
         self._last_dead_step_frac = 0.0  # padding overhead of the last round
         self._resident_cache: dict = {}  # id(source) -> (data_all, batchers)
-        self._round_hidden: dict = {}  # id(source) -> (h_all, fl_all), per run_rounds
+        # id(source) -> (h_all, fl_all) frozen-backbone encoder-output cache;
+        # persists across run_rounds calls, cleared when stage-0 training
+        # mutates the backbone
+        self._round_hidden: dict = {}
+        self._hidden_cache_fn = None  # jitted one-program cache builder
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -357,46 +361,61 @@ class FederatedEngine:
         return (data_all, jnp.asarray(csel), jnp.asarray(arr))
 
     def _hidden_cache_for(self, stage: int, source: dict):
-        """Encoder outputs for every resident utterance, computed ONCE with
-        the current global params. Valid for a whole run_rounds call in
-        stages 1/2: the encoder is frozen, deterministic (reference .eval()
-        semantics) and not part of the aggregated sub-network, so
-        backbone(x) is a round-invariant constant. ~95% of the step FLOPs
-        move out of the round loop."""
+        """Encoder outputs for every resident utterance of ``source``,
+        computed ONCE with the current global params. Valid while the
+        backbone is untouched — in stages 1/2 the encoder is frozen,
+        deterministic (reference .eval() semantics) and not part of the
+        aggregated sub-network, so backbone(x) is a training-invariant
+        constant; the cache persists ACROSS run_rounds calls and is
+        invalidated wherever stage-0 training mutates the backbone
+        (:meth:`run_rounds`, :meth:`centralized_training`). ~95% of the
+        step FLOPs move out of the round loop.
+
+        Built chunk-by-chunk with a jitted backbone forward held on the
+        engine — the jit wrapper must persist across builds, or every build
+        pays remote compile-cache lookups per chunk shape (measured ~1 s
+        each on the tunnel platform)."""
+        key = id(source)
+        hc = self._round_hidden.get(key)
+        if hc is not None:
+            return hc
         data_all, _, _, _ = self._ensure_resident(source)
         f = self.fcfg
-        cfg = self.cfg.replace(stage=stage, num_lms=1)
-        model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
-
-        def fwd(params, iv, il):
-            t = feat_extract_output_lengths(cfg.backbone, iv.shape[1])
-            fl = feat_extract_output_lengths(cfg.backbone, il)
-            fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
-            h = model.apply(
-                {"params": params}, iv, fm, True,
-                method=lambda m, iv, fm, det: m.backbone(iv, fm, deterministic=det))
-            return h, fl
-
-        jfwd = jax.jit(fwd)
-        chunk = max(f.eval_batch_size, 1)
         k_total, n = data_all.input_values.shape[:2]
+        chunk = max(min(f.eval_batch_size, n), 1)
+
+        if self._hidden_cache_fn is None:
+            cfg = self.cfg
+            model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
+
+            def fwd(params, iv, il):
+                t = feat_extract_output_lengths(cfg.backbone, iv.shape[1])
+                fl = feat_extract_output_lengths(cfg.backbone, il)
+                fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
+                h = model.apply(
+                    {"params": params}, iv, fm, True,
+                    method=lambda m, iv, fm, det: m.backbone(
+                        iv, fm, deterministic=det))
+                return h, fl
+
+            self._hidden_cache_fn = jax.jit(fwd)
         h_rows, fl_rows = [], []
         for ki in range(k_total):
             hs, fls = [], []
             for i in range(0, n, chunk):
                 j = min(i + chunk, n)
-                iv = data_all.input_values[ki, i:j]
-                il = data_all.input_lengths[ki, i:j]
-                if j - i < chunk:  # pad the ragged tail to the compiled shape
-                    pad = chunk - (j - i)
-                    iv = jnp.concatenate([iv, iv[:1].repeat(pad, 0)], axis=0)
-                    il = jnp.concatenate([il, il[:1].repeat(pad, 0)], axis=0)
-                h, fl = jfwd(self.global_params, iv, il)
-                hs.append(h[: j - i])
-                fls.append(fl[: j - i])
-            h_rows.append(jnp.concatenate(hs, axis=0))
-            fl_rows.append(jnp.concatenate(fls, axis=0))
-        return jnp.stack(h_rows), jnp.stack(fl_rows)
+                s = j - chunk if j - i < chunk else i  # full-size tail window
+                h, fl = self._hidden_cache_fn(
+                    self.global_params,
+                    data_all.input_values[ki, s : s + chunk],
+                    data_all.input_lengths[ki, s : s + chunk])
+                hs.append(h[i - s :])
+                fls.append(fl[i - s :])
+            h_rows.append(jnp.concatenate(hs, axis=0) if len(hs) > 1 else hs[0])
+            fl_rows.append(jnp.concatenate(fls, axis=0) if len(fls) > 1 else fls[0])
+        hc = (jnp.stack(h_rows), jnp.stack(fl_rows))
+        self._round_hidden[key] = hc
+        return hc
 
     def _round_pseudo_labels(self, cids, stage: int, round_idx: int) -> dict:
         """Per-client N-best pseudo transcripts from the CURRENT global model
@@ -570,25 +589,27 @@ class FederatedEngine:
                 specs.append(("mt", data[0].input_values.shape[1]))
             else:  # plain CTC on teacher 1-best transcripts
                 phase, spec = self._resident_or_staged_phase(
-                    self.client_unsup_examples, cids, rnd)
+                    stage, self.client_unsup_examples, cids, rnd)
                 phases.append(phase)
                 specs.append(spec)
             dead_fracs.append(self._last_dead_step_frac)
         if sl > 0.0:  # supervised phase
             phase, spec = self._resident_or_staged_phase(
-                self.client_examples, cids, rnd)
+                stage, self.client_examples, cids, rnd)
             phases.append(phase)
             specs.append(spec)
             dead_fracs.append(self._last_dead_step_frac)
         # report the worst phase's padding overhead for the round
         return tuple(phases), tuple(specs), max(dead_fracs, default=0.0)
 
-    def _resident_or_staged_phase(self, source: dict, cids, rnd: int):
+    def _resident_or_staged_phase(self, stage: int, source: dict, cids,
+                                  rnd: int):
         """One supervised-style phase: cached-encoder (res_h) when a hidden
-        cache exists for this source, else resident indices, else staged."""
+        cache exists for this source AND the stage's backbone is frozen
+        (1/2), else resident indices, else staged."""
         if self._resident_enabled(source):
             data_all, csel, idx = self._client_round_indices(cids, rnd, source)
-            hc = self._round_hidden.get(id(source))
+            hc = self._round_hidden.get(id(source)) if stage in (1, 2) else None
             if hc is not None:
                 h_all, fl_all = hc
                 return ((h_all, fl_all, data_all, csel, idx),
@@ -621,11 +642,11 @@ class FederatedEngine:
                   ([self.client_examples] if sl > 0.0 else [])
         # stages 1/2: frozen deterministic encoder -> precompute every
         # utterance's encoder output once; rounds train heads on the cache
-        self._round_hidden = {}
+        # (persists across run_rounds calls; stage-0 training clears it)
         if stage in (1, 2):
             for src in sources:
                 if self._resident_enabled(src):
-                    self._round_hidden[id(src)] = self._hidden_cache_for(stage, src)
+                    self._hidden_cache_for(stage, src)
         built = ((rnd, cids, self._build_round(stage, rnd, cids))
                  for rnd, cids in plan)
         # overlap round building with execution only when (a) no phase needs
@@ -651,7 +672,19 @@ class FederatedEngine:
                 ev = self.evaluate(stage)
                 ev.update({"fl_round": rnd + 1, "stage": stage})
                 self.logger.log(ev)
+        if stage == 0:  # the rounds trained the backbone: hidden caches stale
+            self._invalidate_hidden_caches()
         return self.global_params
+
+    def _invalidate_hidden_caches(self) -> None:
+        """Drop every frozen-backbone encoder-output cache (engine round
+        caches AND the per-stage eval Trainers' hidden eval caches) — called
+        after any stage-0 training, which is the only place the backbone
+        mutates."""
+        self._round_hidden.clear()
+        for tr in self._eval_trainers.values():
+            tr._hidden = None
+            tr._hidden_eval = None
 
     def centralized_training(self, stage: int, num_epochs: int | None = None) -> Any:
         """Global warm-start on the public split (reference
@@ -673,6 +706,8 @@ class FederatedEngine:
         )
         state = tr.train()
         self.global_params = jax.device_get(state.params)
+        if stage == 0:  # backbone trained: hidden caches stale
+            self._invalidate_hidden_caches()
         return self.global_params
 
     def evaluate(self, stage: int) -> dict:

@@ -213,20 +213,43 @@ def make_multitask_train_step(
     return train_step
 
 
+def _eval_from_outputs(out, params, batch, cfg: DACSConfig):
+    loss, metrics = dacs_loss(out, batch.labels, batch.label_lengths,
+                              batch.dementia_labels, cfg,
+                              params["similar_fc"]["kernel"], batch.sample_mask)
+    eval_logits = out.logits if cfg.stage == 2 else out.logits_unmask
+    pred_ids = greedy_ids(eval_logits, out.frame_mask, cfg.backbone.pad_token_id)
+    ad_pred = ad_vote(
+        out.dementia_logits_ad if cfg.stage == 2 else out.dementia_logits_unmask,
+        out.frame_mask)
+    return loss, pred_ids, ad_pred
+
+
 def make_eval_step(model: DACSModel, cfg: DACSConfig):
     def eval_step(params, batch: DeviceBatch):
         out = model.apply(
             {"params": params}, batch.input_values, batch.input_lengths,
             deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
         )
-        loss, metrics = dacs_loss(out, batch.labels, batch.label_lengths,
-                                  batch.dementia_labels, cfg,
-                                  params["similar_fc"]["kernel"], batch.sample_mask)
-        eval_logits = out.logits if cfg.stage == 2 else out.logits_unmask
-        pred_ids = greedy_ids(eval_logits, out.frame_mask, cfg.backbone.pad_token_id)
-        ad_pred = ad_vote(
-            out.dementia_logits_ad if cfg.stage == 2 else out.dementia_logits_unmask,
-            out.frame_mask)
-        return loss, pred_ids, ad_pred
+        return _eval_from_outputs(out, params, batch, cfg)
+
+    return eval_step
+
+
+def make_hidden_eval_step(model: DACSModel, cfg: DACSConfig):
+    """Eval step over cached encoder outputs (same validity condition as
+    :func:`make_hidden_train_step`: frozen deterministic backbone)."""
+
+    def eval_step(params, batch: HiddenBatch):
+        t = batch.hidden_states.shape[1]
+        frame_mask = (
+            jnp.arange(t)[None, :] < batch.frame_lengths[:, None]
+        ).astype(jnp.int32)
+        out = model.apply(
+            {"params": params}, batch.hidden_states, frame_mask,
+            batch.frame_lengths, True, rngs={"gumbel": jax.random.PRNGKey(0)},
+            method=DACSModel.apply_heads,
+        )
+        return _eval_from_outputs(out, params, batch, cfg)
 
     return eval_step

@@ -30,10 +30,32 @@ from .logging import JsonlLogger, StepTimer, record_result
 from .metrics import wer
 from .optim import make_optimizer
 from .prefetch import prefetch_device_batches
-from .steps import make_eval_step, make_train_step
+from .steps import (
+    HiddenBatch,
+    make_eval_step,
+    make_hidden_eval_step,
+    make_hidden_train_step,
+    make_train_step,
+)
 from .train_state import DACSTrainState, create_train_state
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+def _gather_hidden(h_cache, fl, labels, ll, dem, idx) -> HiddenBatch:
+    """Row-gather a HiddenBatch from the per-utterance encoder-output cache;
+    idx == -1 marks batch-padding rows (scratch row, masked out)."""
+    scratch = h_cache.shape[0] - 1
+    rows = jnp.where(idx >= 0, idx, scratch)
+    mask = idx >= 0
+    return HiddenBatch(
+        hidden_states=h_cache[rows],
+        frame_lengths=jnp.where(mask, fl[rows], 0),
+        labels=jnp.where(mask[:, None], labels[rows], -100),
+        label_lengths=jnp.where(mask, ll[rows], 0),
+        dementia_labels=jnp.where(mask, dem[rows], 0),
+        sample_mask=mask.astype(jnp.float32),
+    )
 
 
 @dataclass
@@ -59,6 +81,12 @@ class TrainerConfig:
     max_samples: int | None = None           # drop utterances longer than this
     shuffle_window: int | None = None        # per-epoch membership reshuffle
     prefetch: int = 2                        # device batches staged ahead (0 = off)
+    # Frozen-backbone stages (1/2) can train heads on CACHED encoder outputs
+    # (the backbone is frozen AND deterministic there — reference .eval()
+    # semantics — so backbone(x) is a training-invariant constant per
+    # utterance). None = auto (on for stage 1/2 when dp == 1).
+    cache_encoder: bool | None = None
+    cache_budget_bytes: int = 8 << 30        # fall back to full forward if over
     log_file: str | None = None
     log_dir: str = "./saves/log"
     save_dir: str | None = None
@@ -141,6 +169,105 @@ class Trainer:
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
         self._eval_cache = None  # staged eval batches (eval set is static)
 
+        if tcfg.cache_encoder and cfg.stage not in (1, 2):
+            raise ValueError("cache_encoder requires a frozen backbone "
+                             "(stage 1 or 2); stage 0 trains the encoder")
+        self._cache_encoder = (
+            cfg.stage in (1, 2) and tcfg.dp == 1
+            if tcfg.cache_encoder is None
+            else tcfg.cache_encoder and tcfg.dp == 1)
+        self._hidden = None       # train-set encoder-output cache arrays
+        self._hidden_eval = None  # [(host Batch, HiddenBatch)] for evaluate()
+        if self._cache_encoder:
+            hstep = make_hidden_train_step(self.model, self.tx, cfg)
+            self._hidden_step = jax.jit(
+                lambda state, h, fl, lab, ll, dem, idx: hstep(
+                    state, _gather_hidden(h, fl, lab, ll, dem, idx)),
+                donate_argnums=(0,))
+            hes = make_hidden_eval_step(self.model, cfg)
+            self._hidden_eval_step = jax.jit(
+                lambda state, hb: hes(state.params, hb))
+            self._encoder_fwd = jax.jit(self._backbone_apply)
+
+    # ---- frozen-encoder output caching (stages 1/2) ----
+
+    def _backbone_apply(self, params, input_values, input_lengths):
+        """Deterministic backbone forward -> (h [B,T',D], frame_lengths)."""
+        from ..models.backbone import feat_extract_output_lengths
+
+        bcfg = self.cfg.backbone
+        t = feat_extract_output_lengths(bcfg, input_values.shape[1])
+        fl = feat_extract_output_lengths(bcfg, input_lengths)
+        fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
+        h = self.model.apply(
+            {"params": params}, input_values, fm, True,
+            method=lambda m, iv, fm, det: m.backbone(iv, fm, deterministic=det))
+        return h, fl
+
+    def _build_train_cache(self):
+        """Encoder outputs for every train utterance, computed once: the
+        backbone is frozen and deterministic in stages 1/2, so this is a
+        training-invariant constant (the federated engine does the same per
+        run_rounds; here it holds for the whole train() call). Returns None
+        when the cache would exceed cache_budget_bytes."""
+        from ..data.collate import _round_up
+        from ..models.backbone import feat_extract_output_lengths
+
+        bat = self.train_batcher
+        exs = bat.examples
+        n = len(exs)
+        if n == 0:
+            return None
+        t_pad = _round_up(max(len(e.input_values) for e in exs), bat.time_multiple)
+        t_frames = feat_extract_output_lengths(self.cfg.backbone, t_pad)
+        d = self.cfg.hidden_size
+        dt = _DTYPES[self.tcfg.compute_dtype]
+        if (n + 1) * t_frames * d * jnp.dtype(dt).itemsize > self.tcfg.cache_budget_bytes:
+            print(f"[cache_encoder] train cache ({n}x{t_frames}x{d} {dt}) over "
+                  "budget; falling back to full forward per step")
+            return None
+        h_cache = jnp.zeros((n + 1, t_frames, d), dt)  # row n = scratch
+        fl_host = np.zeros((n + 1,), np.int32)
+        l_max = _round_up(max(len(e.labels) for e in exs), bat.label_multiple)
+        labels = np.full((n + 1, l_max), -100, np.int32)
+        ll = np.zeros((n + 1,), np.int32)
+        dem = np.zeros((n + 1,), np.int32)
+        for i, e in enumerate(exs):
+            labels[i, : len(e.labels)] = e.labels
+            ll[i] = len(e.labels)
+            dem[i] = e.dementia_label
+
+        scatter = jax.jit(
+            lambda c, h, rows: c.at[rows, : h.shape[1]].set(h),
+            donate_argnums=(0,))
+        for g, b in zip(bat.epoch_indices(0), bat.epoch(0)):
+            h, fl = self._encoder_fwd(
+                self.state.params, jnp.asarray(b.input_values),
+                jnp.asarray(b.input_lengths))
+            idx = np.asarray(g)
+            rows = jnp.asarray(np.where(idx >= 0, idx, n))
+            h_cache = scatter(h_cache, h, rows)
+            real = idx >= 0
+            fl_host[idx[real]] = np.asarray(fl)[real]
+        return (h_cache, jnp.asarray(fl_host), jnp.asarray(labels),
+                jnp.asarray(ll), jnp.asarray(dem))
+
+    def _build_eval_cache_hidden(self):
+        """(host Batch, HiddenBatch) pairs for the static eval set — eval
+        becomes head-only once the encoder outputs are cached."""
+        out = []
+        for b in self.eval_batcher.epoch(epoch_seed=0):
+            h, fl = self._encoder_fwd(
+                self.state.params, jnp.asarray(b.input_values),
+                jnp.asarray(b.input_lengths))
+            out.append((b, HiddenBatch(
+                hidden_states=h, frame_lengths=fl,
+                labels=jnp.asarray(b.labels),
+                label_lengths=jnp.asarray(b.label_lengths),
+                dementia_labels=jnp.asarray(b.dementia_labels),
+                sample_mask=jnp.asarray(b.sample_mask))))
+        return out
+
     # ---- host loops ----
 
     def _resume(self, where: str) -> None:
@@ -188,16 +315,23 @@ class Trainer:
 
     def evaluate(self) -> dict:
         assert self.eval_batcher is not None
-        if self._eval_cache is None:
-            # the eval set and its batching (epoch_seed=0) are static: stage
-            # to device once, reuse every evaluation (in FL, every round)
-            self._eval_cache = list(prefetch_device_batches(
-                self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch,
-                self._batch_sharding))
+        if self._cache_encoder:
+            if self._hidden_eval is None:
+                self._hidden_eval = self._build_eval_cache_hidden()
+            batches, step = self._hidden_eval, self._hidden_eval_step
+        else:
+            if self._eval_cache is None:
+                # the eval set and its batching (epoch_seed=0) are static:
+                # stage to device once, reuse every evaluation (in FL, every
+                # round)
+                self._eval_cache = list(prefetch_device_batches(
+                    self.eval_batcher.epoch(epoch_seed=0), self.tcfg.prefetch,
+                    self._batch_sharding))
+            batches, step = self._eval_cache, self._eval_step
         refs, hyps, losses = [], [], []
         ad_correct = ad_total = 0
-        for b, db in self._eval_cache:
-            loss, pred_ids, ad_pred = self._eval_step(self.state, db)
+        for b, db in batches:
+            loss, pred_ids, ad_pred = step(self.state, db)
             pred_ids = np.asarray(pred_ids)
             ad_pred = np.asarray(ad_pred)
             losses.append(float(loss))
@@ -213,17 +347,34 @@ class Trainer:
             "eval_ad_acc": ad_correct / max(ad_total, 1),
         }
 
+    def _train_batches(self, epoch: int):
+        """Yield (n_real_utts, step_fn_args) per batch — either full-forward
+        device batches or cached-encoder index gathers."""
+        t = self.tcfg
+        if self._cache_encoder:
+            if self._hidden is None:
+                self._hidden = self._build_train_cache() or False  # False = over budget
+            if self._hidden:
+                h, fl, lab, ll, dem = self._hidden
+                for g in self.train_batcher.epoch_indices(t.seed + epoch):
+                    idx = np.asarray(g, np.int32)
+                    yield int((idx >= 0).sum()), (
+                        self._hidden_step, (h, fl, lab, ll, dem, jnp.asarray(idx)))
+                return
+        for b, db in prefetch_device_batches(
+                self.train_batcher.epoch(epoch_seed=t.seed + epoch),
+                t.prefetch, self._batch_sharding):
+            yield int(b.sample_mask.sum()), (self._train_step, (db,))
+
     def train(self) -> DACSTrainState:
         t = self.tcfg
         timer = StepTimer()
         step = int(self.state.step)
         for epoch in range(t.num_epochs):
-            for b, db in prefetch_device_batches(
-                    self.train_batcher.epoch(epoch_seed=t.seed + epoch),
-                    t.prefetch, self._batch_sharding):
-                self.state, metrics = self._train_step(self.state, db)
+            for n_real, (step_fn, fn_args) in self._train_batches(epoch):
+                self.state, metrics = step_fn(self.state, *fn_args)
                 step += 1
-                timer.update(int(b.sample_mask.sum()))
+                timer.update(n_real)
                 if step % t.logging_steps == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host.update({"step": step, "epoch": epoch + 1})

@@ -353,3 +353,34 @@ def test_cached_encoder_rounds_match_staged_stage2():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
         results[True], results[False])
+
+
+def test_hidden_cache_persists_and_invalidates_on_stage0():
+    """The frozen-backbone encoder-output cache survives consecutive
+    stage-1/2 run_rounds calls (the backbone is untouched there) and is
+    dropped after stage-0 training mutates the backbone — subsequent
+    stage-2 rounds must rebuild from the NEW backbone."""
+    cfg = _tiny_cfg(stage=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(11))
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, global_ep=1,
+        batch_size=2, time_multiple=3200, seed=0, warmup_steps=1,
+        resident_client_data=True)
+    clients = {0: _examples(4, seed=1), 1: _examples(3, seed=2)}
+    eng = FederatedEngine(cfg, fcfg, clients, _examples(4, seed=3), None,
+                          TOK, jax.tree.map(np.array, params))
+
+    eng.run_rounds(stage=2, num_rounds=1)
+    assert eng._round_hidden, "hidden cache not built"
+    key, (h0, _) = next(iter(eng._round_hidden.items()))
+    eng.run_rounds(stage=2, num_rounds=1)
+    assert eng._round_hidden[key][0] is h0, "cache must persist across calls"
+
+    eng.run_rounds(stage=0, num_rounds=1)  # trains the backbone
+    assert not eng._round_hidden, "stage-0 rounds must invalidate the cache"
+
+    eng.run_rounds(stage=2, num_rounds=1)
+    h1 = eng._round_hidden[key][0]
+    assert h1 is not h0
+    assert not np.allclose(np.asarray(h0), np.asarray(h1)), \
+        "rebuilt cache must reflect the stage-0-trained backbone"

@@ -319,3 +319,54 @@ def test_prefetch_worker_released_on_abandon():
             break
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+@pytest.mark.parametrize("stage", [1, 2])
+def test_cached_encoder_trainer_matches_full_forward(stage, tmp_path):
+    """Stages 1/2 train heads on CACHED encoder outputs by default (the
+    frozen backbone is deterministic there); the final params, losses and
+    eval metrics must reproduce the full-forward path."""
+    results = {}
+    for cached in (False, True):
+        cfg = _tiny_cfg(stage=stage)
+        params = init_dacs_params(cfg, jax.random.PRNGKey(7))
+        tr = Trainer(cfg, jax.tree.map(np.array, params), _examples(6),
+                     _examples(4, seed=9), TOK,
+                     TrainerConfig(num_epochs=2, batch_size=4,
+                                   time_multiple=3200, warmup_steps=1,
+                                   logging_steps=100, eval_steps=10_000,
+                                   cache_encoder=cached, seed=5,
+                                   log_dir=str(tmp_path)))
+        assert tr._cache_encoder is cached
+        state = tr.train()
+        if cached:
+            assert tr._hidden, "train cache was not built"
+        results[cached] = (jax.device_get(state.params), tr.evaluate())
+    p0, e0 = results[False]
+    p1, e1 = results[True]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        p0, p1)
+    for k in e0:
+        np.testing.assert_allclose(e0[k], e1[k], rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_cache_encoder_budget_fallback(tmp_path):
+    """Over-budget cache falls back to the full-forward path and still
+    trains (no retry loop, no crash)."""
+    cfg = _tiny_cfg(stage=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(3))
+    tr = Trainer(cfg, params, _examples(6), None, TOK,
+                 TrainerConfig(num_epochs=2, batch_size=4, time_multiple=3200,
+                               warmup_steps=1, cache_budget_bytes=16,
+                               log_dir=str(tmp_path)))
+    tr.train()
+    assert tr._hidden is False  # marked over-budget once, not rebuilt
+
+
+def test_cache_encoder_rejects_stage0():
+    cfg = _tiny_cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(3))
+    with pytest.raises(ValueError, match="frozen backbone"):
+        Trainer(cfg, params, _examples(4), None, TOK,
+                TrainerConfig(cache_encoder=True))
