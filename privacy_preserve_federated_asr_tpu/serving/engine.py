@@ -1,0 +1,237 @@
+"""TPU-native batched inference engine (serving path).
+
+The reference has NO serving layer — inference there is batch evaluation
+only (SURVEY.md §1: "no serving layer"). This module adds the production
+path the reference lacks, built on the same jitted forward the evaluator
+uses (evaluation/extract.py):
+
+* **Static shapes**: incoming audio is padded up to quantized time buckets
+  (multiples of ``time_multiple``, capped at ``max_seconds``) and batches
+  are padded to a fixed ``batch_size`` — the set of compiled programs is
+  bounded by the bucket grid, and every program can be precompiled at
+  startup (:meth:`InferenceEngine.warmup`) so no request ever pays a
+  compile.
+* **Micro-batching**: concurrent requests are coalesced into one device
+  batch (up to ``batch_size``, waiting at most ``batch_window_ms``) by a
+  single dispatcher thread — TPU throughput comes from batched matmuls,
+  not per-request forwards.
+
+Outputs per utterance: greedy CTC transcript, AD prediction via the
+reference's frame-majority vote (federated/src/update.py:162-212
+``map_to_result``: mean over timesteps of argmax > 0.5) plus the mean
+AD-class probability over valid frames.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.audio import normalize_input_values
+from ..data.tokenizer import CTCCharTokenizer
+from ..models.config import DACSConfig
+from ..models.dacs import DACSModel
+from ..ops.decode import ad_vote, greedy_ids
+
+
+@dataclass
+class ServingConfig:
+    batch_size: int = 8
+    time_multiple: int = 16000       # bucket quantum (1 s @ 16 kHz)
+    max_seconds: float = 30.0        # longest accepted utterance
+    batch_window_ms: float = 10.0    # micro-batch coalescing window
+    normalize: bool = True           # feature-extractor normalization
+    compute_dtype: str = "bfloat16"  # production inference precision
+    # sample-count buckets to precompile at startup; () = every bucket of
+    # the grid (ceil(max_seconds) programs)
+    warmup_buckets: tuple[int, ...] = ()
+
+
+@dataclass
+class InferenceResult:
+    transcript: str
+    ad_pred: int            # reference frame-majority vote
+    ad_prob: float          # mean P(AD) over valid frames
+    frames: int             # valid encoder frames
+    samples: int            # input samples consumed
+
+
+class InferenceEngine:
+    """Jitted, bucketed, micro-batched forward over a DACS model.
+
+    ``infer_batch`` is the synchronous core; ``submit``/``infer`` go
+    through the micro-batching dispatcher (start it with :meth:`start`).
+    """
+
+    def __init__(
+        self,
+        cfg: DACSConfig,
+        params,
+        tokenizer: CTCCharTokenizer | None = None,
+        scfg: ServingConfig = ServingConfig(),
+    ):
+        self.cfg = cfg
+        self.scfg = scfg
+        self.tokenizer = tokenizer or CTCCharTokenizer()
+        self.params = params
+        self.model = DACSModel(
+            cfg, dtype={"float32": jnp.float32,
+                        "bfloat16": jnp.bfloat16}[scfg.compute_dtype])
+        stage2 = cfg.stage == 2
+
+        def forward(p, input_values, input_lengths):
+            out = self.model.apply(
+                {"params": p}, input_values, input_lengths,
+                deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
+            )
+            # stage-2 models serve the privacy-masked (AD-free) ASR stream
+            # and the AD-masked classifier stream; earlier stages the plain
+            # heads (same switch as the evaluator, train/steps.py)
+            logits = out.logits if stage2 else out.logits_unmask
+            dlog = out.dementia_logits_ad if stage2 else out.dementia_logits_unmask
+            pred = greedy_ids(logits, out.frame_mask, cfg.backbone.pad_token_id)
+            ad_pred = ad_vote(dlog, out.frame_mask)
+            probs = jax.nn.softmax(dlog.astype(jnp.float32), axis=-1)[..., 1]
+            fm = out.frame_mask.astype(jnp.float32)
+            ad_prob = (probs * fm).sum(-1) / jnp.maximum(fm.sum(-1), 1.0)
+            return pred, ad_pred, ad_prob, out.frame_lengths
+
+        self._forward = jax.jit(forward)
+        self._queue: queue.Queue = queue.Queue()
+        self._worker: threading.Thread | None = None
+        self._stop = threading.Event()
+
+    # ---- shape management ----
+
+    @property
+    def max_samples(self) -> int:
+        return int(self.scfg.max_seconds * 16000)
+
+    def _bucket(self, n_samples: int) -> int:
+        q = self.scfg.time_multiple
+        return min(-(-max(n_samples, 1) // q) * q, self.max_samples)
+
+    def _buckets(self) -> list[int]:
+        if self.scfg.warmup_buckets:
+            return sorted(set(self._bucket(b) for b in self.scfg.warmup_buckets))
+        q = self.scfg.time_multiple
+        return list(range(q, self.max_samples + 1, q))
+
+    def warmup(self, buckets: Sequence[int] | None = None) -> int:
+        """Compile the forward for every bucket shape up front; returns the
+        number of programs compiled."""
+        buckets = list(buckets) if buckets is not None else self._buckets()
+        for t in buckets:
+            iv = jnp.zeros((self.scfg.batch_size, t), jnp.float32)
+            il = jnp.full((self.scfg.batch_size,), t, jnp.int32)
+            jax.block_until_ready(self._forward(self.params, iv, il))
+        return len(buckets)
+
+    # ---- synchronous batched inference ----
+
+    def infer_batch(self, arrays: Sequence[np.ndarray]) -> list[InferenceResult]:
+        """Run one padded device batch over ``arrays`` (float waveforms at
+        16 kHz). Arrays longer than ``max_seconds`` are truncated; the batch
+        is split into chunks of ``batch_size``."""
+        if not arrays:
+            return []
+        out: list[InferenceResult] = []
+        bs = self.scfg.batch_size
+        for i in range(0, len(arrays), bs):
+            out.extend(self._infer_chunk(arrays[i : i + bs]))
+        return out
+
+    def _infer_chunk(self, arrays: Sequence[np.ndarray]) -> list[InferenceResult]:
+        bs = self.scfg.batch_size
+        xs = []
+        for a in arrays:
+            a = np.asarray(a, np.float32).reshape(-1)[: self.max_samples]
+            if self.scfg.normalize:
+                a = normalize_input_values(a)
+            xs.append(a)
+        t = self._bucket(max(len(a) for a in xs))
+        iv = np.zeros((bs, t), np.float32)
+        il = np.zeros((bs,), np.int32)
+        for i, a in enumerate(xs):
+            n = min(len(a), t)
+            iv[i, :n] = a[:n]
+            il[i] = n
+        pred, ad_pred, ad_prob, flen = jax.device_get(
+            self._forward(self.params, jnp.asarray(iv), jnp.asarray(il)))
+        return [
+            InferenceResult(
+                transcript=self.tokenizer.decode(pred[i]),
+                ad_pred=int(ad_pred[i]),
+                ad_prob=float(ad_prob[i]),
+                frames=int(flen[i]),
+                samples=int(il[i]),
+            )
+            for i in range(len(xs))
+        ]
+
+    # ---- micro-batching dispatcher ----
+
+    def start(self) -> None:
+        """Start the micro-batching dispatcher thread (idempotent)."""
+        if self._worker is not None and self._worker.is_alive():
+            return
+        self._stop.clear()
+        self._worker = threading.Thread(target=self._dispatch_loop, daemon=True)
+        self._worker.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._worker is not None:
+            self._queue.put(None)  # wake the dispatcher
+            self._worker.join(timeout=5)
+            self._worker = None
+
+    def submit(self, array: np.ndarray) -> "Future[InferenceResult]":
+        """Enqueue one utterance; resolves when its micro-batch runs."""
+        fut: Future = Future()
+        self._queue.put((array, fut))
+        return fut
+
+    def infer(self, array: np.ndarray, timeout: float | None = 60.0) -> InferenceResult:
+        if self._worker is None or not self._worker.is_alive():
+            return self.infer_batch([array])[0]
+        return self.submit(array).result(timeout=timeout)
+
+    def _dispatch_loop(self) -> None:
+        window = self.scfg.batch_window_ms / 1e3
+        bs = self.scfg.batch_size
+        while not self._stop.is_set():
+            try:
+                item = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if item is None:
+                continue
+            batch = [item]
+            # coalesce whatever arrives within the window, up to batch_size
+            deadline = window
+            while len(batch) < bs:
+                try:
+                    nxt = self._queue.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                batch.append(nxt)
+            arrays = [a for a, _ in batch]
+            futures = [f for _, f in batch]
+            try:
+                results = self.infer_batch(arrays)
+                for f, r in zip(futures, results):
+                    f.set_result(r)
+            except Exception as e:  # propagate to every waiter
+                for f in futures:
+                    if not f.done():
+                        f.set_exception(e)

@@ -1,0 +1,123 @@
+"""Minimal stdlib HTTP front-end for the inference engine.
+
+No external web framework (container constraint; the reference has no
+serving layer at all). Endpoints:
+
+* ``GET /healthz`` -> ``{"ok": true, "requests": N}``
+* ``POST /asr`` with either
+  - JSON body ``{"audio": [floats], "sample_rate": 16000}``, or
+  - a RIFF/WAV body (``Content-Type: audio/wav``), PCM16/PCM32/float32
+  -> ``{"transcript": ..., "ad_pred": 0|1, "ad_prob": p, "frames": n}``
+
+Requests ride the engine's micro-batching dispatcher, so concurrent
+clients share device batches.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .engine import InferenceEngine
+
+
+def _decode_wav(body: bytes) -> np.ndarray:
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(io.BytesIO(body))
+    if data.ndim > 1:  # downmix channels
+        data = data.mean(axis=1)
+    if np.issubdtype(data.dtype, np.integer):
+        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+    else:
+        data = data.astype(np.float32)
+    if sr != 16000:
+        # linear resample (the data layer's loader semantics, data/audio.py)
+        n = int(round(len(data) * 16000 / sr))
+        data = np.interp(
+            np.linspace(0.0, len(data) - 1, n, dtype=np.float64),
+            np.arange(len(data), dtype=np.float64), data,
+        ).astype(np.float32)
+    return data
+
+
+def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
+                port: int = 8008) -> ThreadingHTTPServer:
+    """Build (but do not start) the HTTP server bound to ``host:port``."""
+    counter = {"requests": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "requests": counter["requests"]})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/asr":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").lower()
+                if body[:4] == b"RIFF" or "audio/wav" in ctype:
+                    audio = _decode_wav(body)
+                else:
+                    obj = json.loads(body)
+                    audio = np.asarray(obj["audio"], np.float32)
+                    sr = int(obj.get("sample_rate", 16000))
+                    if sr != 16000:
+                        n = int(round(len(audio) * 16000 / sr))
+                        audio = np.interp(
+                            np.linspace(0.0, len(audio) - 1, n),
+                            np.arange(len(audio), dtype=np.float64),
+                            audio).astype(np.float32)
+                if audio.size == 0:
+                    self._reply(400, {"error": "empty audio"})
+                    return
+                r = engine.infer(audio)
+                with lock:
+                    counter["requests"] += 1
+                self._reply(200, {
+                    "transcript": r.transcript, "ad_pred": r.ad_pred,
+                    "ad_prob": r.ad_prob, "frames": r.frames,
+                    "samples": r.samples,
+                })
+            except Exception as e:
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
+                  port: int = 8008, warmup: bool = True) -> None:
+    """Start the dispatcher, optionally precompile every bucket, serve."""
+    engine.start()
+    if warmup:
+        n = engine.warmup()
+        print(f"[serve] warmed {n} bucket programs")
+    srv = make_server(engine, host, port)
+    print(f"[serve] listening on http://{host}:{port} "
+          f"(POST /asr, GET /healthz)")
+    try:
+        srv.serve_forever()
+    finally:
+        engine.stop()
+        srv.server_close()

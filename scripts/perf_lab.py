@@ -82,6 +82,89 @@ def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
             "utt_per_sec": round(batch_size / dt, 1)}
 
 
+def bench_hidden_step(batch_size=16, seconds=5.0, label_len=48, stage=2):
+    """Head-only train step over CACHED encoder outputs (stages 1/2 train on
+    these by default: Trainer cache_encoder / engine res_h rounds), plus the
+    one-time cache-build (backbone forward) rate that amortizes over epochs."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.models.backbone import (
+        feat_extract_output_lengths)
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import (
+        HiddenBatch, make_hidden_train_step)
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        create_train_state, init_dacs_params)
+
+    samples = int(16000 * seconds)
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    tx = make_optimizer(jax.eval_shape(lambda: params), stage=stage,
+                        warmup_steps=100, total_steps=10_000)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_hidden_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    t_frames = feat_extract_output_lengths(cfg.backbone, samples)
+    d = cfg.hidden_size
+    rng = np.random.default_rng(0)
+    batch = HiddenBatch(
+        hidden_states=jnp.asarray(
+            rng.normal(0, 1, (batch_size, t_frames, d)).astype(np.float32),
+            jnp.bfloat16),
+        frame_lengths=jnp.full((batch_size,), t_frames, jnp.int32),
+        labels=jnp.asarray(rng.integers(4, 32, (batch_size, label_len)),
+                           dtype=jnp.int32),
+        label_lengths=jnp.full((batch_size,), label_len, jnp.int32),
+        dementia_labels=jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
+        sample_mask=jnp.ones((batch_size,), jnp.float32))
+
+    holder = {"state": state}
+
+    def run(b):
+        holder["state"], m = step(holder["state"], b)
+        return m
+
+    dt = time_fn(run, (batch,), flush=lambda m: float(m["loss"]))
+    return {"config": f"hidden-step B={batch_size} T={seconds}s st={stage}",
+            "step_ms": round(dt * 1000, 2),
+            "utt_per_sec": round(batch_size / dt, 1)}
+
+
+def bench_serving(batch_size=8, seconds=5.0, stage=2):
+    """End-to-end serving path on the flagship model: single-request latency
+    and saturated batched throughput through InferenceEngine.infer_batch
+    (includes host-side padding, normalization and greedy decode)."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine, ServingConfig)
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    samples = int(16000 * seconds)
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    eng = InferenceEngine(cfg, params, None, ServingConfig(
+        batch_size=batch_size, max_seconds=seconds))
+    rng = np.random.default_rng(0)
+    waves = [rng.normal(0, 0.3, size=samples).astype(np.float32)
+             for _ in range(batch_size)]
+    eng.warmup([samples])
+
+    dt1 = time_fn(lambda w: eng.infer_batch([w]), (waves[0],),
+                  flush=lambda rs: rs[0].ad_prob)
+    dtb = time_fn(lambda: eng.infer_batch(waves), (),
+                  flush=lambda rs: rs[-1].ad_prob)
+    print(json.dumps({
+        "config": f"serve B={batch_size} T={seconds}s st={stage} bf16",
+        "single_latency_ms": round(dt1 * 1e3, 1),
+        "batch_ms": round(dtb * 1e3, 1),
+        "throughput_utt_per_sec": round(batch_size / dtb, 1)}), flush=True)
+
+
 def bench_attention(t, impl, block=128, b=16, h=16, d=64, rate=0.0):
     from privacy_preserve_federated_asr_tpu.ops.attention import multihead_attention
 
@@ -125,6 +208,12 @@ def main():
         bench_layer_stack()
     elif mode == "flround":
         bench_fl_round(stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif mode == "hidden":
+        print(json.dumps(bench_hidden_step(
+            stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)), flush=True)
+    elif mode == "serve":
+        bench_serving(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
     elif mode == "posconv":
         bench_posconv()
     elif mode == "one":
