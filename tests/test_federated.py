@@ -384,3 +384,28 @@ def test_hidden_cache_persists_and_invalidates_on_stage0():
     assert h1 is not h0
     assert not np.allclose(np.asarray(h0), np.asarray(h1)), \
         "rebuilt cache must reflect the stage-0-trained backbone"
+
+
+def test_cached_rounds_with_dual_sources_match_staged():
+    """supervised_level=0.5 rounds run an unsupervised phase then a
+    supervised phase; with resident data BOTH sources get hidden caches —
+    results must match the staged full-forward path."""
+    results = {}
+    for resident in (False, True):
+        cfg = _tiny_cfg(stage=1)
+        params = init_dacs_params(cfg, jax.random.PRNGKey(21))
+        fcfg = FederatedConfig(
+            num_rounds=2, num_clients=2, frac=1.0, local_ep=1, global_ep=1,
+            batch_size=2, time_multiple=3200, seed=0, warmup_steps=1,
+            supervised_level=0.5, resident_client_data=resident)
+        clients = {0: _examples(4, seed=1), 1: _examples(3, seed=2)}
+        unsup = {0: _examples(3, seed=4), 1: _examples(4, seed=5)}
+        eng = FederatedEngine(cfg, fcfg, clients, _examples(4, seed=3), None,
+                              TOK, jax.tree.map(np.array, params),
+                              client_unsup_examples=unsup)
+        results[resident] = jax.device_get(eng.run_rounds(stage=1, num_rounds=2))
+        if resident:
+            assert len(eng._round_hidden) == 2, "both sources must be cached"
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        results[True], results[False])
