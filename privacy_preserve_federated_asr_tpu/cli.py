@@ -240,7 +240,8 @@ def cmd_federated(args):
         batch_size=args.train_batch_size, eval_batch_size=args.eval_batch_size,
         seed=args.seed, learning_rate=args.learning_rate,
         compute_dtype=args.compute_dtype, remat=args.remat,
-        log_file=args.log_path, supervised_level=args.supervised_level)
+        log_file=args.log_path, supervised_level=args.supervised_level,
+        cache_encoder=False if args.no_cache_encoder else None)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -287,7 +288,8 @@ def cmd_serve(args):
         cfg, params, CTCCharTokenizer(),
         ServingConfig(batch_size=args.eval_batch_size,
                       max_seconds=args.max_seconds,
-                      batch_window_ms=args.batch_window_ms))
+                      batch_window_ms=args.batch_window_ms,
+                      compute_dtype=args.compute_dtype))
     serve_forever(engine, host=args.host, port=args.port,
                   warmup=not args.no_warmup)
 

@@ -40,10 +40,11 @@ from ..models.dacs import DACSModel
 from ..parallel.fed import fedavg_stacked, graft_network
 from ..train.logging import JsonlLogger
 from ..train.optim import make_optimizer
-from ..models.backbone import feat_extract_output_lengths
 from ..train.steps import (
     DeviceBatch,
     HiddenBatch,
+    backbone_forward_fn,
+    gather_hidden,
     make_hidden_train_step,
     make_multitask_train_step,
     make_train_step,
@@ -67,16 +68,8 @@ def _gather_hidden_batch(h: jax.Array, fl: jax.Array, data: DeviceBatch,
                          idx: jax.Array) -> HiddenBatch:
     """Row-gather a HiddenBatch from cached encoder outputs (see
     _gather_batch for the idx == -1 padding semantics)."""
-    safe = jnp.clip(idx, 0, h.shape[0] - 1)
-    mask = idx >= 0
-    return HiddenBatch(
-        hidden_states=h[safe],
-        frame_lengths=jnp.where(mask, fl[safe], 0),
-        labels=jnp.where(mask[:, None], data.labels[safe], -100),
-        label_lengths=jnp.where(mask, data.label_lengths[safe], 0),
-        dementia_labels=jnp.where(mask, data.dementia_labels[safe], 0),
-        sample_mask=mask.astype(jnp.float32) * data.sample_mask[safe],
-    )
+    return gather_hidden(h, fl, data.labels, data.label_lengths,
+                         data.dementia_labels, idx, row_mask=data.sample_mask)
 
 
 def _gather_batch(data: DeviceBatch, idx: jax.Array) -> DeviceBatch:
@@ -130,6 +123,11 @@ class FederatedConfig:
     # supervised phase per round; 0 = unsupervised only
     # (reference: options.py --supervised_level, update.py update_weights)
     supervised_level: float = 1.0
+    # Stage-1/2 rounds train heads on cached encoder outputs (the frozen
+    # backbone is deterministic there). False disables; the budget guards
+    # device memory (cache is skipped per source when it would exceed it).
+    cache_encoder: bool | None = None
+    cache_budget_bytes: int = 6 << 30
 
 
 class FederatedEngine:
@@ -165,7 +163,8 @@ class FederatedEngine:
         # persists across run_rounds calls, cleared when stage-0 training
         # mutates the backbone
         self._round_hidden: dict = {}
-        self._hidden_cache_fn = None  # jitted one-program cache builder
+        self._hidden_over_budget: set = set()  # sources too big to cache
+        self._hidden_cache_fn = None  # persistent jitted backbone forward
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -379,26 +378,30 @@ class FederatedEngine:
         hc = self._round_hidden.get(key)
         if hc is not None:
             return hc
-        data_all, _, _, _ = self._ensure_resident(source)
         f = self.fcfg
+        if f.cache_encoder is False or key in self._hidden_over_budget:
+            return None
+        data_all, _, _, _ = self._ensure_resident(source)
         k_total, n = data_all.input_values.shape[:2]
         chunk = max(min(f.eval_batch_size, n), 1)
 
+        from ..models.backbone import feat_extract_output_lengths
+
+        t_frames = feat_extract_output_lengths(
+            self.cfg.backbone, data_all.input_values.shape[2])
+        itemsize = 2 if f.compute_dtype == "bfloat16" else 4
+        need = k_total * n * t_frames * self.cfg.hidden_size * itemsize
+        if need > f.cache_budget_bytes:
+            print(f"[engine] hidden cache ({need / 1e9:.1f} GB) over budget "
+                  f"({f.cache_budget_bytes / 1e9:.1f} GB); stage-1/2 rounds "
+                  "fall back to full forwards for this source")
+            self._hidden_over_budget.add(key)
+            return None
+
         if self._hidden_cache_fn is None:
-            cfg = self.cfg
-            model = DACSModel(cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
-
-            def fwd(params, iv, il):
-                t = feat_extract_output_lengths(cfg.backbone, iv.shape[1])
-                fl = feat_extract_output_lengths(cfg.backbone, il)
-                fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
-                h = model.apply(
-                    {"params": params}, iv, fm, True,
-                    method=lambda m, iv, fm, det: m.backbone(
-                        iv, fm, deterministic=det))
-                return h, fl
-
-            self._hidden_cache_fn = jax.jit(fwd)
+            model = DACSModel(self.cfg, dtype=_dtype(f.compute_dtype),
+                              remat=f.remat)
+            self._hidden_cache_fn = jax.jit(backbone_forward_fn(model))
         h_rows, fl_rows = [], []
         for ki in range(k_total):
             hs, fls = [], []

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Sequence
@@ -75,8 +76,9 @@ class InferenceEngine:
         cfg: DACSConfig,
         params,
         tokenizer: CTCCharTokenizer | None = None,
-        scfg: ServingConfig = ServingConfig(),
+        scfg: ServingConfig | None = None,
     ):
+        scfg = scfg if scfg is not None else ServingConfig()
         self.cfg = cfg
         self.scfg = scfg
         self.tokenizer = tokenizer or CTCCharTokenizer()
@@ -122,7 +124,12 @@ class InferenceEngine:
         if self.scfg.warmup_buckets:
             return sorted(set(self._bucket(b) for b in self.scfg.warmup_buckets))
         q = self.scfg.time_multiple
-        return list(range(q, self.max_samples + 1, q))
+        grid = list(range(q, self.max_samples + 1, q))
+        if not grid or grid[-1] != self.max_samples:
+            # max_seconds not on the grid: the capped bucket is reachable
+            # (any input > the last grid bucket lands there) — precompile it
+            grid.append(self.max_samples)
+        return grid
 
     def warmup(self, buckets: Sequence[int] | None = None) -> int:
         """Compile the forward for every bucket shape up front; returns the
@@ -192,6 +199,15 @@ class InferenceEngine:
             self._queue.put(None)  # wake the dispatcher
             self._worker.join(timeout=5)
             self._worker = None
+        # fail any request still queued rather than leaving its Future
+        # pending forever
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("inference engine stopped"))
 
     def submit(self, array: np.ndarray) -> "Future[InferenceResult]":
         """Enqueue one utterance; resolves when its micro-batch runs."""
@@ -215,11 +231,16 @@ class InferenceEngine:
             if item is None:
                 continue
             batch = [item]
-            # coalesce whatever arrives within the window, up to batch_size
-            deadline = window
+            # coalesce what arrives before the deadline, up to batch_size —
+            # the deadline is fixed from the FIRST item, so no request waits
+            # more than batch_window_ms before its batch launches
+            deadline = time.monotonic() + window
             while len(batch) < bs:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
                 try:
-                    nxt = self._queue.get(timeout=deadline)
+                    nxt = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
                 if nxt is None:

@@ -25,6 +25,18 @@ import numpy as np
 from .engine import InferenceEngine
 
 
+def _resample_to_16k(data: np.ndarray, sr: int) -> np.ndarray:
+    """Linear resample to 16 kHz (request path; offline ingest uses the
+    polyphase loader in data/audio.py)."""
+    if sr == 16000:
+        return np.asarray(data, np.float32)
+    n = int(round(len(data) * 16000 / sr))
+    return np.interp(
+        np.linspace(0.0, len(data) - 1, n, dtype=np.float64),
+        np.arange(len(data), dtype=np.float64), data,
+    ).astype(np.float32)
+
+
 def _decode_wav(body: bytes) -> np.ndarray:
     from scipy.io import wavfile
 
@@ -35,14 +47,7 @@ def _decode_wav(body: bytes) -> np.ndarray:
         data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
     else:
         data = data.astype(np.float32)
-    if sr != 16000:
-        # linear resample (the data layer's loader semantics, data/audio.py)
-        n = int(round(len(data) * 16000 / sr))
-        data = np.interp(
-            np.linspace(0.0, len(data) - 1, n, dtype=np.float64),
-            np.arange(len(data), dtype=np.float64), data,
-        ).astype(np.float32)
-    return data
+    return _resample_to_16k(data, sr)
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
@@ -81,14 +86,9 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                     audio = _decode_wav(body)
                 else:
                     obj = json.loads(body)
-                    audio = np.asarray(obj["audio"], np.float32)
-                    sr = int(obj.get("sample_rate", 16000))
-                    if sr != 16000:
-                        n = int(round(len(audio) * 16000 / sr))
-                        audio = np.interp(
-                            np.linspace(0.0, len(audio) - 1, n),
-                            np.arange(len(audio), dtype=np.float64),
-                            audio).astype(np.float32)
+                    audio = _resample_to_16k(
+                        np.asarray(obj["audio"], np.float32),
+                        int(obj.get("sample_rate", 16000)))
                 if audio.size == 0:
                     self._reply(400, {"error": "empty audio"})
                     return

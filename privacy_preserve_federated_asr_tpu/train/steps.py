@@ -110,6 +110,47 @@ class HiddenBatch:
     sample_mask: jax.Array      # [B]
 
 
+def backbone_forward_fn(model: DACSModel):
+    """Deterministic backbone-only forward -> (h [B,T',D], frame_lengths) —
+    the cache-building primitive shared by the Trainer's cache_encoder path
+    and the federated engine's res_h rounds (jit it at the call site)."""
+    bcfg = model.cfg.backbone
+
+    def fwd(params, input_values, input_lengths):
+        from ..models.backbone import feat_extract_output_lengths
+
+        t = feat_extract_output_lengths(bcfg, input_values.shape[1])
+        fl = feat_extract_output_lengths(bcfg, input_lengths)
+        fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
+        h = model.apply(
+            {"params": params}, input_values, fm, True,
+            method=lambda m, iv, fm, det: m.backbone(iv, fm, deterministic=det))
+        return h, fl
+
+    return fwd
+
+
+def gather_hidden(h, fl, labels, label_lengths, dementia_labels, idx,
+                  row_mask=None) -> HiddenBatch:
+    """Row-gather a HiddenBatch from cached encoder outputs; idx == -1 marks
+    batch-padding rows (masked out). ``row_mask`` carries the source rows'
+    own sample mask when the cache itself contains padding rows (the
+    federated engine's stacked per-client data)."""
+    safe = jnp.clip(idx, 0, h.shape[0] - 1)
+    mask = idx >= 0
+    sm = mask.astype(jnp.float32)
+    if row_mask is not None:
+        sm = sm * row_mask[safe]
+    return HiddenBatch(
+        hidden_states=h[safe],
+        frame_lengths=jnp.where(mask, fl[safe], 0),
+        labels=jnp.where(mask[:, None], labels[safe], -100),
+        label_lengths=jnp.where(mask, label_lengths[safe], 0),
+        dementia_labels=jnp.where(mask, dementia_labels[safe], 0),
+        sample_mask=sm,
+    )
+
+
 def make_hidden_train_step(
     model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
     aux_metrics: bool = False,

@@ -32,6 +32,8 @@ from .optim import make_optimizer
 from .prefetch import prefetch_device_batches
 from .steps import (
     HiddenBatch,
+    backbone_forward_fn,
+    gather_hidden,
     make_eval_step,
     make_hidden_eval_step,
     make_hidden_train_step,
@@ -40,22 +42,6 @@ from .steps import (
 from .train_state import DACSTrainState, create_train_state
 
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
-
-
-def _gather_hidden(h_cache, fl, labels, ll, dem, idx) -> HiddenBatch:
-    """Row-gather a HiddenBatch from the per-utterance encoder-output cache;
-    idx == -1 marks batch-padding rows (scratch row, masked out)."""
-    scratch = h_cache.shape[0] - 1
-    rows = jnp.where(idx >= 0, idx, scratch)
-    mask = idx >= 0
-    return HiddenBatch(
-        hidden_states=h_cache[rows],
-        frame_lengths=jnp.where(mask, fl[rows], 0),
-        labels=jnp.where(mask[:, None], labels[rows], -100),
-        label_lengths=jnp.where(mask, ll[rows], 0),
-        dementia_labels=jnp.where(mask, dem[rows], 0),
-        sample_mask=mask.astype(jnp.float32),
-    )
 
 
 @dataclass
@@ -182,27 +168,14 @@ class Trainer:
             hstep = make_hidden_train_step(self.model, self.tx, cfg)
             self._hidden_step = jax.jit(
                 lambda state, h, fl, lab, ll, dem, idx: hstep(
-                    state, _gather_hidden(h, fl, lab, ll, dem, idx)),
+                    state, gather_hidden(h, fl, lab, ll, dem, idx)),
                 donate_argnums=(0,))
             hes = make_hidden_eval_step(self.model, cfg)
             self._hidden_eval_step = jax.jit(
                 lambda state, hb: hes(state.params, hb))
-            self._encoder_fwd = jax.jit(self._backbone_apply)
+            self._encoder_fwd = jax.jit(backbone_forward_fn(self.model))
 
     # ---- frozen-encoder output caching (stages 1/2) ----
-
-    def _backbone_apply(self, params, input_values, input_lengths):
-        """Deterministic backbone forward -> (h [B,T',D], frame_lengths)."""
-        from ..models.backbone import feat_extract_output_lengths
-
-        bcfg = self.cfg.backbone
-        t = feat_extract_output_lengths(bcfg, input_values.shape[1])
-        fl = feat_extract_output_lengths(bcfg, input_lengths)
-        fm = (jnp.arange(t)[None, :] < fl[:, None]).astype(jnp.int32)
-        h = self.model.apply(
-            {"params": params}, input_values, fm, True,
-            method=lambda m, iv, fm, det: m.backbone(iv, fm, deterministic=det))
-        return h, fl
 
     def _build_train_cache(self):
         """Encoder outputs for every train utterance, computed once: the

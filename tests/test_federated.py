@@ -409,3 +409,20 @@ def test_cached_rounds_with_dual_sources_match_staged():
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
         results[True], results[False])
+
+
+def test_engine_hidden_cache_budget_fallback():
+    """An over-budget hidden cache falls back to full-forward resident
+    rounds (marked once, no retry) and still trains."""
+    cfg = _tiny_cfg(stage=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(5))
+    fcfg = FederatedConfig(
+        num_rounds=2, num_clients=2, frac=1.0, local_ep=1, global_ep=1,
+        batch_size=2, time_multiple=3200, seed=0, warmup_steps=1,
+        resident_client_data=True, cache_budget_bytes=64)
+    clients = {0: _examples(4, seed=1), 1: _examples(3, seed=2)}
+    eng = FederatedEngine(cfg, fcfg, clients, _examples(4, seed=3), None,
+                          TOK, jax.tree.map(np.array, params))
+    eng.run_rounds(stage=2, num_rounds=2)
+    assert not eng._round_hidden
+    assert eng._hidden_over_budget

@@ -135,3 +135,24 @@ def test_http_server_roundtrip():
         srv.shutdown()
         srv.server_close()
         eng.stop()
+
+
+def test_capped_bucket_precompiled():
+    """A max_seconds off the bucket grid still yields a warmup-covered
+    capped bucket (no request may pay a compile after warmup)."""
+    eng = _engine()
+    eng.scfg = ServingConfig(batch_size=4, time_multiple=3200,
+                             max_seconds=2.1, compute_dtype="float32")
+    assert eng.max_samples == 33600
+    assert eng._buckets()[-1] == 33600
+    assert eng._bucket(10**9) == 33600
+    assert eng._bucket(33000) == 33600
+
+
+def test_stop_fails_pending_futures():
+    eng = _engine()
+    futs = [eng.submit(_wave(3200, seed=i)) for i in range(3)]  # never started
+    eng.stop()
+    for f in futs:
+        with pytest.raises(RuntimeError, match="stopped"):
+            f.result(timeout=1)
