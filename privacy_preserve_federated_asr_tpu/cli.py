@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pickle
 import sys
 from pathlib import Path
@@ -141,10 +142,15 @@ def _add_common(p):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel chips: batch sharded over a 'data' "
                         "mesh axis, params replicated (GSPMD all-reduce)")
-    p.add_argument("--audio_dir", default="./data/clips")
-    p.add_argument("--train_csv", default="./data/mid_csv/train.csv")
-    p.add_argument("--test_csv", default="./data/mid_csv/test.csv")
-    p.add_argument("--spk2label", default="./meta-data/test_dic.npy")
+    # the reference's path.sh exports DACS_dataRoot/DACS_codeRoot and
+    # scripts read them at import (federated/src/utils.py:22-23,53) —
+    # honored here as CLI defaults
+    dacs_data = os.environ.get("DACS_dataRoot", "./data")
+    dacs_code = os.environ.get("DACS_codeRoot", ".")
+    p.add_argument("--audio_dir", default=f"{dacs_data}/clips")
+    p.add_argument("--train_csv", default=f"{dacs_data}/mid_csv/train.csv")
+    p.add_argument("--test_csv", default=f"{dacs_data}/mid_csv/test.csv")
+    p.add_argument("--spk2label", default=f"{dacs_code}/meta-data/test_dic.npy")
     p.add_argument("--dataset_cache", default="./dataset_cache")
     p.add_argument("-ckpt", "--checkpoint", default=None)
     p.add_argument("--no_fast_rng", action="store_true",

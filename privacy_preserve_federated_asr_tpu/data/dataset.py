@@ -74,32 +74,56 @@ def csv_to_examples(
         if cache_file.exists():
             return _load_cache(cache_file)
 
-    examples: list[AsrExample] = []
+    rows: list[tuple[str, str | None]] = []
     with open(csv_path, newline="") as f:
         for row in csv.DictReader(f):
             path = row["path"]
             sentence = row.get("sentence")
             if with_transcript and (sentence is None or sentence == ""):
                 continue
-            wav_path = os.path.join(audio_dir, path)
-            try:
-                sig = load_audio(wav_path, target_sr=target_sr)
-            except (ValueError, FileNotFoundError) as e:  # unreadable file
-                print(f"Err file = {wav_path}: {e}")
-                continue
-            if len(sig) <= min_samples:
-                continue
-            examples.append(
-                AsrExample(
-                    path=path,
-                    array=sig,
-                    text=sentence.upper() if (with_transcript and sentence) else None,
-                    dementia_label=id_to_label(path, spk2label),
-                )
+            rows.append((path, sentence))
+
+    wav_paths = [os.path.join(audio_dir, p) for p, _ in rows]
+    sigs = _load_all_audio(wav_paths, target_sr)
+    examples: list[AsrExample] = []
+    for (path, sentence), sig in zip(rows, sigs):
+        if sig is None or len(sig) <= min_samples:
+            continue
+        examples.append(
+            AsrExample(
+                path=path,
+                array=sig,
+                text=sentence.upper() if (with_transcript and sentence) else None,
+                dementia_label=id_to_label(path, spk2label),
             )
+        )
     if cache_file is not None:
         _save_cache(cache_file, examples)
     return examples
+
+
+def _load_all_audio(wav_paths: list[str], target_sr: int) -> list:
+    """Corpus audio load: the native threaded loader (native/wavio.cpp via
+    data/native_audio.py, numerics-parity-tested vs the scipy path) when the
+    shared library is available, else per-file scipy. Failed files become
+    None (logged), matching the reference's skip-and-print behavior
+    (federated/src/utils.py csv2dataset)."""
+    from . import native_audio
+
+    if native_audio.available():
+        sigs = native_audio.load_many_native(wav_paths, target_sr=target_sr)
+        for p, s in zip(wav_paths, sigs):
+            if s is None:
+                print(f"Err file = {p}: native load failed")
+        return sigs
+    out = []
+    for p in wav_paths:
+        try:
+            out.append(load_audio(p, target_sr=target_sr))
+        except (ValueError, FileNotFoundError) as e:  # unreadable file
+            print(f"Err file = {p}: {e}")
+            out.append(None)
+    return out
 
 
 def prepare_examples(
