@@ -276,7 +276,8 @@ def cmd_extract(args):
     for split, csv_path in (("", args.test_csv), ("_train", args.train_csv)):
         exs, tok = _load_examples(args, csv_path)
         rows = extract_embeddings(cfg, params, exs, tok,
-                                  batch_size=args.eval_batch_size)
+                                  batch_size=args.eval_batch_size,
+                                  compute_dtype=args.compute_dtype)
         rows_to_pickle(rows, str(out_dir / f"{args.csv_name}{split}.pkl"))
         if split == "":  # the reference writes Result.csv for the test set
             write_results_csv(rows, str(out_dir))
@@ -578,7 +579,9 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("-csv", "--csv_name", default="extract")
     p.add_argument("--csv_out_dir", default="./saves/results")
-    p.set_defaults(fn=cmd_extract)
+    # reference extraction runs fp32 (no .half() in the eval scripts);
+    # opt into bf16 explicitly for speed
+    p.set_defaults(fn=cmd_extract, compute_dtype="float32")
 
     p = sub.add_parser("serve", help="batched jitted ASR+AD inference server")
     _add_common(p)

@@ -52,8 +52,15 @@ def extract_embeddings(
     batch_size: int = 16,
     time_multiple: int = 16000,
     seed: int = 0,
+    compute_dtype: str = "float32",
 ) -> list[ExtractionRow]:
-    model = DACSModel(cfg)
+    """``compute_dtype="bfloat16"`` runs the forward in bf16 (the serving
+    precision; dumped rows are float32 either way) — the reference's batched
+    extraction runs fp32 under DataParallel, so that stays the default."""
+    import jax.numpy as jnp
+
+    model = DACSModel(cfg, dtype={"float32": jnp.float32,
+                                  "bfloat16": jnp.bfloat16}[compute_dtype])
 
     @jax.jit
     def forward(p, batch: DeviceBatch):

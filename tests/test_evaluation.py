@@ -283,3 +283,21 @@ def test_detail_wer_golden_report():
     assert hc["substitutions"] == 1 and hc["wer"] == pytest.approx(1 / 7)
     assert ad["deletions"] == 1 and ad["insertions"] == 1
     assert ad["wer"] == pytest.approx(2 / 5)
+
+
+def test_extract_embeddings_bf16_close_to_fp32():
+    """bf16 extraction (serving precision, opt-in) dumps float32 rows whose
+    masks/predictions agree with the fp32 path."""
+    cfg = DACSConfig(backbone=BackboneConfig.tiny_for_tests(), stage=2, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    exs = _examples()
+    r32 = extract_embeddings(cfg, params, exs, TOK, batch_size=4,
+                             time_multiple=3200)
+    r16 = extract_embeddings(cfg, params, exs, TOK, batch_size=4,
+                             time_multiple=3200, compute_dtype="bfloat16")
+    for a, b in zip(r32, r16):
+        assert b.hidden_states.dtype == np.float32
+        assert a.hidden_states.shape == b.hidden_states.shape
+        np.testing.assert_allclose(a.hidden_states, b.hidden_states,
+                                   atol=0.15, rtol=0.1)
+        assert a.pred_AD == b.pred_AD
