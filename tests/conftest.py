@@ -21,3 +21,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_global_jax_config():
+    """Restore process-global JAX config mutated by the code under test.
+
+    ``cli train`` switches the default PRNG impl to the TPU hardware RBG
+    (utils/profiling.py ``enable_tpu_fast_rng``); running the CLI
+    in-process must not leak that into later tests' noise streams.
+    """
+    prng = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prng:
+        jax.config.update("jax_default_prng_impl", prng)
