@@ -142,6 +142,10 @@ def _add_common(p):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel chips: batch sharded over a 'data' "
                         "mesh axis, params replicated (GSPMD all-reduce)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel chips: encoder matmuls "
+                        "Megatron-sharded over a 'model' mesh axis "
+                        "(parallel/tp.py; for backbones beyond one chip)")
     # the reference's path.sh exports DACS_dataRoot/DACS_codeRoot and
     # scripts read them at import (federated/src/utils.py:22-23,53) —
     # honored here as CLI defaults
@@ -182,7 +186,7 @@ def cmd_train(args):
         eval_batch_size=args.eval_batch_size, learning_rate=args.learning_rate,
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
-        scan_layers=args.scan_layers, dp=args.dp,
+        scan_layers=args.scan_layers, dp=args.dp, tp=args.tp,
         cache_encoder=False if args.no_cache_encoder else None,
         log_file=args.log_path, save_dir=args.model_out_path,
         resume_from=args.checkpoint))
@@ -194,8 +198,8 @@ def cmd_federated(args):
     import jax
 
     _maybe_fast_rng(args)
-    if args.scan_layers or args.dp > 1:
-        print("[federated] note: --scan_layers/--dp apply to `train`/`sweep` "
+    if args.scan_layers or args.dp > 1 or args.tp > 1:
+        print("[federated] note: --scan_layers/--dp/--tp apply to `train`/`sweep` "
               "only; FL parallelism is the engine's (client, data) mesh "
               "(FederatedConfig.mesh)")
 
@@ -517,7 +521,7 @@ def cmd_sweep(args):
             num_epochs=args.epochs, batch_size=args.train_batch_size,
             eval_batch_size=args.eval_batch_size, seed=args.seed,
             compute_dtype=args.compute_dtype, log_file=args.log_path,
-            scan_layers=args.scan_layers, dp=args.dp)
+            scan_layers=args.scan_layers, dp=args.dp, tp=args.tp)
         sweep_asr(grid, cfg, tcfg, params, train_exs, test_exs, tok,
                   results_csv=args.results_csv)
 

@@ -1,4 +1,5 @@
 from .mesh import make_mesh, shard_leading_axis, replicated
+from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
 from .fed import (
     NETWORKS,
     average_weights,
@@ -12,6 +13,9 @@ __all__ = [
     "make_mesh",
     "shard_leading_axis",
     "replicated",
+    "tp_partition_spec",
+    "tp_shardings",
+    "validate_tp_divisibility",
     "NETWORKS",
     "average_weights",
     "fedavg_stacked",

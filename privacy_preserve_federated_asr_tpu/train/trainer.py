@@ -62,6 +62,7 @@ class TrainerConfig:
     remat: bool = False
     scan_layers: bool = False  # one compiled layer scanned over N (fast compile)
     dp: int = 1  # data-parallel chips: batch sharded over a "data" mesh axis
+    tp: int = 1  # tensor-parallel chips: encoder matmuls sharded over "model"
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
@@ -89,6 +90,20 @@ class Trainer:
         tokenizer: CTCCharTokenizer,
         tcfg: TrainerConfig = TrainerConfig(),
     ):
+        if tcfg.tp > 1:
+            # GSPMD partitions the plain-XLA attention einsums over the
+            # "model" axis automatically; the Pallas flash kernel is a
+            # single opaque call it cannot slice — force the XLA impl
+            # (pallas stays the single-chip/long-T path)
+            from ..parallel.tp import validate_tp_divisibility
+
+            validate_tp_divisibility(cfg.backbone, tcfg.tp)
+            if cfg.backbone.attention_impl == "pallas":
+                raise ValueError("tp > 1 requires attention_impl 'xla'/'auto' "
+                                 "(the Pallas kernel is opaque to GSPMD)")
+            if cfg.backbone.attention_impl == "auto":
+                cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+                    cfg.backbone, attention_impl="xla"))
         self.cfg = cfg
         self.tcfg = tcfg
         self.tokenizer = tokenizer
@@ -132,23 +147,38 @@ class Trainer:
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)
         self._batch_sharding = None
-        if tcfg.dp > 1:
-            # classic data parallelism the GSPMD way: params/optimizer state
-            # replicated, the batch dim sharded over a "data" mesh axis —
-            # jit partitions the step and inserts the gradient all-reduce
-            # (SURVEY.md §2.6: replaces torch DataParallel / Lightning DDP)
+        if tcfg.dp > 1 or tcfg.tp > 1:
+            # GSPMD parallelism over a ("data", "model") mesh:
+            #   dp — batch dim sharded over "data", jit inserts the gradient
+            #        all-reduce (SURVEY.md §2.6: replaces torch
+            #        DataParallel / Lightning DDP);
+            #   tp — encoder matmuls Megatron-sharded over "model"
+            #        (parallel/tp.py), params+Adam moments sharded the same
+            #        way, one all-reduce per attention/FFN block.
             from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ..parallel.tp import tp_shardings
 
             if tcfg.batch_size % tcfg.dp or tcfg.eval_batch_size % tcfg.dp:
                 raise ValueError(
                     f"batch sizes ({tcfg.batch_size}/{tcfg.eval_batch_size}) "
                     f"must be divisible by dp={tcfg.dp}")
             devices = jax.devices()
-            if len(devices) < tcfg.dp:
-                raise ValueError(f"dp={tcfg.dp} but only {len(devices)} devices")
-            mesh = Mesh(np.array(devices[: tcfg.dp]), ("data",))
+            n = tcfg.dp * tcfg.tp
+            if len(devices) < n:
+                raise ValueError(
+                    f"dp={tcfg.dp} x tp={tcfg.tp} needs {n} devices, "
+                    f"have {len(devices)}")
+            mesh = Mesh(np.array(devices[:n]).reshape(tcfg.dp, tcfg.tp),
+                        ("data", "model"))
             self._batch_sharding = NamedSharding(mesh, P("data"))
-            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+            if tcfg.tp > 1:
+                # non-encoder leaves (and step/rng/Adam count) come back
+                # replicated from tp_shardings
+                self.state = jax.device_put(
+                    self.state, tp_shardings(mesh, self.state))
+            else:
+                self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
         eval_step = make_eval_step(self.model, cfg)
@@ -158,10 +188,11 @@ class Trainer:
         if tcfg.cache_encoder and cfg.stage not in (1, 2):
             raise ValueError("cache_encoder requires a frozen backbone "
                              "(stage 1 or 2); stage 0 trains the encoder")
+        single_device = tcfg.dp == 1 and tcfg.tp == 1
         self._cache_encoder = (
-            cfg.stage in (1, 2) and tcfg.dp == 1
+            cfg.stage in (1, 2) and single_device
             if tcfg.cache_encoder is None
-            else tcfg.cache_encoder and tcfg.dp == 1)
+            else tcfg.cache_encoder and single_device)
         self._hidden = None       # train-set encoder-output cache arrays
         self._hidden_eval = None  # [(host Batch, HiddenBatch)] for evaluate()
         if self._cache_encoder:
