@@ -163,6 +163,10 @@ def _add_common(p):
                    help="disable the frozen-backbone encoder-output cache "
                         "(stages 1/2 default to training heads on cached "
                         "encoder outputs — same numerics class, ~10x faster)")
+    p.add_argument("--no_cache_frontend", action="store_true",
+                   help="disable the frozen conv-frontend output cache "
+                        "(stage 0 defaults to training on cached conv "
+                        "features — identical numerics, skips the conv fwd)")
 
 
 def _maybe_fast_rng(args):
@@ -188,6 +192,7 @@ def cmd_train(args):
         compute_dtype=args.compute_dtype, remat=args.remat,
         scan_layers=args.scan_layers, dp=args.dp, tp=args.tp,
         cache_encoder=False if args.no_cache_encoder else None,
+        cache_frontend=False if args.no_cache_frontend else None,
         log_file=args.log_path, save_dir=args.model_out_path,
         resume_from=args.checkpoint))
     tr.train()

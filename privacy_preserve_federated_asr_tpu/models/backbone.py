@@ -392,12 +392,20 @@ class SSLBackbone(nn.Module):
     @nn.compact
     def __call__(
         self,
-        input_values: jax.Array,
+        input_values: jax.Array | None,
         frame_mask: jax.Array | None = None,
         deterministic: bool = True,
+        precomputed_features: jax.Array | None = None,
     ) -> jax.Array:
         cfg = self.cfg
-        feats = FeatureEncoder(cfg, self.dtype, name="feature_extractor")(input_values)
+        if precomputed_features is not None:
+            # the conv frontend is frozen in every recipe (reference
+            # freeze_feature_encoder) and fully deterministic, so its output
+            # is a training-invariant constant per utterance — callers may
+            # cache it and skip the conv stack (train/steps.py feature path)
+            feats = precomputed_features
+        else:
+            feats = FeatureEncoder(cfg, self.dtype, name="feature_extractor")(input_values)
         x = FeatureProjection(cfg, self.dtype, name="feature_projection")(
             feats, deterministic
         )

@@ -112,6 +112,32 @@ class DACSModel(nn.Module):
         return self.apply_heads(h, frame_mask, frame_lengths, deterministic,
                                 gumbel_noise, mask_override)
 
+    def apply_from_features(
+        self,
+        features: jax.Array,              # [B, T', C_conv] frozen conv-frontend output
+        frame_mask: jax.Array,            # [B, T']
+        frame_lengths: jax.Array,         # [B]
+        deterministic: bool = False,
+        backbone_deterministic: bool | None = None,
+        gumbel_noise: tuple[jax.Array, jax.Array] | None = None,
+        mask_override: tuple[jax.Array | None, jax.Array | None] | None = None,
+    ) -> DACSOutputs:
+        """Forward from CACHED conv-frontend outputs (stage-0 fast path).
+
+        The conv feature extractor is frozen in every recipe (reference
+        ``freeze_feature_encoder``, federated/src/models.py:328-334) and has
+        no dropout, so ``feature_extractor(x)`` is a training-invariant
+        constant per utterance. Everything trained at stage 0 (feature
+        projection, encoder, heads) and every stochastic layer (feat-proj
+        dropout, SpecAugment, encoder dropouts, final dropout, Gumbel) sits
+        after this cache point — numerically identical to ``__call__``."""
+        if backbone_deterministic is None:
+            backbone_deterministic = deterministic
+        h = self.backbone(None, frame_mask, deterministic=backbone_deterministic,
+                          precomputed_features=features)
+        return self.apply_heads(h, frame_mask, frame_lengths, deterministic,
+                                gumbel_noise, mask_override)
+
     def apply_heads(
         self,
         h: jax.Array,                     # [B, T, D] encoder output (pre final dropout)

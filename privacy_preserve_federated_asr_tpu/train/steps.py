@@ -204,6 +204,104 @@ def make_hidden_train_step(
     return train_step
 
 
+@flax.struct.dataclass
+class FeatureBatch:
+    """A batch of CACHED conv-frontend outputs for stage-0 training: the
+    feature extractor is frozen in every recipe (reference
+    freeze_feature_encoder) and deterministic, so its output is a
+    training-invariant constant per utterance."""
+
+    features: jax.Array         # [B, T', C_conv] FeatureEncoder output
+    frame_lengths: jax.Array    # [B]
+    labels: jax.Array           # [B, L]
+    label_lengths: jax.Array    # [B]
+    dementia_labels: jax.Array  # [B]
+    sample_mask: jax.Array      # [B]
+
+
+def frontend_forward_fn(model: DACSModel):
+    """Conv-frontend-only forward -> (features [B,T',C], frame_lengths) —
+    the stage-0 cache-building primitive (jit it at the call site)."""
+    bcfg = model.cfg.backbone
+
+    def fwd(params, input_values, input_lengths):
+        from ..models.backbone import FeatureEncoder, feat_extract_output_lengths
+
+        fl = feat_extract_output_lengths(bcfg, input_lengths)
+        feats = FeatureEncoder(bcfg, model.dtype).apply(
+            {"params": params["backbone"]["feature_extractor"]}, input_values)
+        return feats, fl
+
+    return fwd
+
+
+def gather_features(feats, fl, labels, label_lengths, dementia_labels, idx,
+                    row_mask=None) -> FeatureBatch:
+    """Row-gather a FeatureBatch from cached conv-frontend outputs (same
+    semantics as :func:`gather_hidden`)."""
+    hb = gather_hidden(feats, fl, labels, label_lengths, dementia_labels,
+                       idx, row_mask)
+    return FeatureBatch(
+        features=hb.hidden_states, frame_lengths=hb.frame_lengths,
+        labels=hb.labels, label_lengths=hb.label_lengths,
+        dementia_labels=hb.dementia_labels, sample_mask=hb.sample_mask)
+
+
+def make_feature_train_step(
+    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
+    aux_metrics: bool = False,
+):
+    """Stage-0 train step over cached conv-frontend outputs
+    (``DACSModel.apply_from_features``).
+
+    Valid for every stage (the conv frontend is always frozen and has no
+    dropout); it matters for stage 0, where the rest of the backbone trains
+    and the cached-encoder path (make_hidden_train_step) does not apply.
+    Everything stochastic (feat-proj dropout, SpecAugment, encoder dropouts,
+    final dropout, Gumbel) sits after the cache point and stays live.
+    """
+    trainable = stage_trainable_predicate(cfg.stage)
+
+    def _freeze(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: x if trainable(_path_strings(p))
+            else jax.lax.stop_gradient(x),
+            params,
+        )
+
+    def train_step(state: DACSTrainState, batch: FeatureBatch):
+        rngs, new_rng = state.next_rngs()
+        t = batch.features.shape[1]
+        frame_mask = (
+            jnp.arange(t)[None, :] < batch.frame_lengths[:, None]
+        ).astype(jnp.int32)
+        backbone_det = cfg.stage != 0
+
+        def loss_fn(params):
+            params = _freeze(params)
+            out = model.apply(
+                {"params": params}, batch.features, frame_mask,
+                batch.frame_lengths, deterministic=False,
+                backbone_deterministic=backbone_det, rngs=rngs,
+                method=DACSModel.apply_from_features,
+            )
+            return dacs_loss(out, batch.labels, batch.label_lengths,
+                             batch.dementia_labels, cfg,
+                             params["similar_fc"]["kernel"], batch.sample_mask,
+                             aux_metrics=aux_metrics)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = dataclasses.replace(
+            state, step=state.step + 1, params=params, opt_state=opt_state, rng=new_rng)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
 def make_multitask_train_step(
     model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
 ):

@@ -33,8 +33,11 @@ from .prefetch import prefetch_device_batches
 from .steps import (
     HiddenBatch,
     backbone_forward_fn,
+    frontend_forward_fn,
+    gather_features,
     gather_hidden,
     make_eval_step,
+    make_feature_train_step,
     make_hidden_eval_step,
     make_hidden_train_step,
     make_train_step,
@@ -73,6 +76,10 @@ class TrainerConfig:
     # semantics — so backbone(x) is a training-invariant constant per
     # utterance). None = auto (on for stage 1/2 when dp == 1).
     cache_encoder: bool | None = None
+    # Stage 0 trains the encoder, but the conv FRONTEND is still frozen
+    # (reference freeze_feature_encoder) and deterministic — its outputs are
+    # cached the same way. None = auto (on for stage 0 when dp == tp == 1).
+    cache_frontend: bool | None = None
     cache_budget_bytes: int = 8 << 30        # fall back to full forward if over
     log_file: str | None = None
     log_dir: str = "./saves/log"
@@ -205,6 +212,20 @@ class Trainer:
             self._hidden_eval_step = jax.jit(
                 lambda state, hb: hes(state.params, hb))
             self._encoder_fwd = jax.jit(backbone_forward_fn(self.model))
+        self._cache_frontend = (
+            cfg.stage == 0 and single_device
+            if tcfg.cache_frontend is None
+            else tcfg.cache_frontend and single_device)
+        if self._cache_encoder:
+            self._cache_frontend = False  # the deeper cache subsumes it
+        self._features = None  # train-set conv-frontend cache arrays
+        if self._cache_frontend:
+            fstep = make_feature_train_step(self.model, self.tx, cfg)
+            self._feature_step = jax.jit(
+                lambda state, f, fl, lab, ll, dem, idx: fstep(
+                    state, gather_features(f, fl, lab, ll, dem, idx)),
+                donate_argnums=(0,))
+            self._frontend_fwd = jax.jit(frontend_forward_fn(self.model))
 
     # ---- frozen-encoder output caching (stages 1/2) ----
 
@@ -214,6 +235,21 @@ class Trainer:
         training-invariant constant (the federated engine does the same per
         run_rounds; here it holds for the whole train() call). Returns None
         when the cache would exceed cache_budget_bytes."""
+        return self._build_cache(self._encoder_fwd, self.cfg.hidden_size,
+                                 "cache_encoder")
+
+    def _build_frontend_cache(self):
+        """Conv-frontend outputs for every train utterance, computed once
+        (stage-0 fast path): the feature extractor is frozen in every recipe
+        and has no dropout, so this is a training-invariant constant.
+        Returns None when the cache would exceed cache_budget_bytes."""
+        return self._build_cache(self._frontend_fwd,
+                                 self.cfg.backbone.conv_dim[-1],
+                                 "cache_frontend")
+
+    def _build_cache(self, fwd, width: int, tag: str):
+        """Per-utterance [n+1, T', width] cache of a frozen deterministic
+        forward (row n = scratch for batch-padding rows)."""
         from ..data.collate import _round_up
         from ..models.backbone import feat_extract_output_lengths
 
@@ -224,13 +260,12 @@ class Trainer:
             return None
         t_pad = _round_up(max(len(e.input_values) for e in exs), bat.time_multiple)
         t_frames = feat_extract_output_lengths(self.cfg.backbone, t_pad)
-        d = self.cfg.hidden_size
         dt = _DTYPES[self.tcfg.compute_dtype]
-        if (n + 1) * t_frames * d * jnp.dtype(dt).itemsize > self.tcfg.cache_budget_bytes:
-            print(f"[cache_encoder] train cache ({n}x{t_frames}x{d} {dt}) over "
+        if (n + 1) * t_frames * width * jnp.dtype(dt).itemsize > self.tcfg.cache_budget_bytes:
+            print(f"[{tag}] train cache ({n}x{t_frames}x{width} {dt}) over "
                   "budget; falling back to full forward per step")
             return None
-        h_cache = jnp.zeros((n + 1, t_frames, d), dt)  # row n = scratch
+        cache = jnp.zeros((n + 1, t_frames, width), dt)
         fl_host = np.zeros((n + 1,), np.int32)
         l_max = _round_up(max(len(e.labels) for e in exs), bat.label_multiple)
         labels = np.full((n + 1, l_max), -100, np.int32)
@@ -245,15 +280,15 @@ class Trainer:
             lambda c, h, rows: c.at[rows, : h.shape[1]].set(h),
             donate_argnums=(0,))
         for g, b in zip(bat.epoch_indices(0), bat.epoch(0)):
-            h, fl = self._encoder_fwd(
+            h, fl = fwd(
                 self.state.params, jnp.asarray(b.input_values),
                 jnp.asarray(b.input_lengths))
             idx = np.asarray(g)
             rows = jnp.asarray(np.where(idx >= 0, idx, n))
-            h_cache = scatter(h_cache, h, rows)
+            cache = scatter(cache, h, rows)
             real = idx >= 0
             fl_host[idx[real]] = np.asarray(fl)[real]
-        return (h_cache, jnp.asarray(fl_host), jnp.asarray(labels),
+        return (cache, jnp.asarray(fl_host), jnp.asarray(labels),
                 jnp.asarray(ll), jnp.asarray(dem))
 
     def _build_eval_cache_hidden(self):
@@ -364,6 +399,16 @@ class Trainer:
                     idx = np.asarray(g, np.int32)
                     yield int((idx >= 0).sum()), (
                         self._hidden_step, (h, fl, lab, ll, dem, jnp.asarray(idx)))
+                return
+        if self._cache_frontend:
+            if self._features is None:
+                self._features = self._build_frontend_cache() or False
+            if self._features:
+                f, fl, lab, ll, dem = self._features
+                for g in self.train_batcher.epoch_indices(t.seed + epoch):
+                    idx = np.asarray(g, np.int32)
+                    yield int((idx >= 0).sum()), (
+                        self._feature_step, (f, fl, lab, ll, dem, jnp.asarray(idx)))
                 return
         for b, db in prefetch_device_batches(
                 self.train_batcher.epoch(epoch_seed=t.seed + epoch),

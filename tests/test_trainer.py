@@ -370,3 +370,50 @@ def test_cache_encoder_rejects_stage0():
     with pytest.raises(ValueError, match="frozen backbone"):
         Trainer(cfg, params, _examples(4), None, TOK,
                 TrainerConfig(cache_encoder=True))
+
+
+@pytest.mark.parametrize("dropout", [0.0, 0.2])
+def test_cached_frontend_trainer_matches_full_forward(dropout, tmp_path):
+    """Stage 0 trains on CACHED conv-frontend outputs by default (the
+    feature extractor is frozen in every recipe and has no dropout); the
+    final params, losses and eval metrics must reproduce the full-forward
+    path — including with live dropout, because flax RNG streams are
+    module-path-keyed and every stochastic layer sits after the cache
+    point."""
+    results = {}
+    for cached in (False, True):
+        cfg = DACSConfig(
+            backbone=BackboneConfig.tiny_for_tests(
+                hidden_dropout=dropout, attention_dropout=dropout,
+                activation_dropout=0.0, final_dropout=dropout),
+            stage=0, ad_loss="cel")
+        params = init_dacs_params(cfg, jax.random.PRNGKey(7))
+        tr = Trainer(cfg, jax.tree.map(np.array, params), _examples(6),
+                     _examples(4, seed=9), TOK,
+                     TrainerConfig(num_epochs=2, batch_size=4,
+                                   time_multiple=3200, warmup_steps=1,
+                                   logging_steps=100, eval_steps=10_000,
+                                   cache_frontend=cached, seed=5,
+                                   log_dir=str(tmp_path)))
+        assert tr._cache_frontend is cached
+        state = tr.train()
+        if cached:
+            assert tr._features, "frontend cache was not built"
+        results[cached] = (jax.device_get(state.params), tr.evaluate())
+    p0, e0 = results[False]
+    p1, e1 = results[True]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6),
+        p0, p1)
+    for k in e0:
+        np.testing.assert_allclose(e0[k], e1[k], rtol=2e-4, atol=1e-6, err_msg=k)
+
+
+def test_cache_frontend_deactivated_by_encoder_cache():
+    """Stages 1/2 use the deeper encoder cache; the frontend cache must not
+    double-activate."""
+    cfg = _tiny_cfg(stage=2)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(3))
+    tr = Trainer(cfg, params, _examples(4), None, TOK,
+                 TrainerConfig(cache_frontend=True))
+    assert tr._cache_encoder and not tr._cache_frontend
