@@ -133,6 +133,57 @@ def bench_hidden_step(batch_size=16, seconds=5.0, label_len=48, stage=2):
             "utt_per_sec": round(batch_size / dt, 1)}
 
 
+def bench_feature_step(batch_size=16, seconds=5.0, label_len=48, stage=0):
+    """Stage-0 train step over CACHED conv-frontend outputs (the Trainer's
+    default stage-0 path, cache_frontend): encoder + heads fwd/bwd with the
+    frozen conv feature extractor's forward skipped."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.models.backbone import (
+        feat_extract_output_lengths)
+    from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
+    from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
+    from privacy_preserve_federated_asr_tpu.train.steps import (
+        FeatureBatch, make_feature_train_step)
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        create_train_state, init_dacs_params)
+
+    samples = int(16000 * seconds)
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    tx = make_optimizer(jax.eval_shape(lambda: params), stage=stage,
+                        warmup_steps=100, total_steps=10_000)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_feature_train_step(model, tx, cfg), donate_argnums=(0,))
+
+    t_frames = feat_extract_output_lengths(cfg.backbone, samples)
+    c = cfg.backbone.conv_dim[-1]
+    rng = np.random.default_rng(0)
+    batch = FeatureBatch(
+        features=jnp.asarray(
+            rng.normal(0, 1, (batch_size, t_frames, c)).astype(np.float32),
+            jnp.bfloat16),
+        frame_lengths=jnp.full((batch_size,), t_frames, jnp.int32),
+        labels=jnp.asarray(rng.integers(4, 32, (batch_size, label_len)),
+                           dtype=jnp.int32),
+        label_lengths=jnp.full((batch_size,), label_len, jnp.int32),
+        dementia_labels=jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32),
+        sample_mask=jnp.ones((batch_size,), jnp.float32))
+
+    holder = {"state": state}
+
+    def run(b):
+        holder["state"], m = step(holder["state"], b)
+        return m
+
+    dt = time_fn(run, (batch,), flush=lambda m: float(m["loss"]))
+    return {"config": f"feature-step B={batch_size} T={seconds}s st={stage}",
+            "step_ms": round(dt * 1000, 2),
+            "utt_per_sec": round(batch_size / dt, 1)}
+
+
 def bench_serving(batch_size=8, seconds=5.0, stage=2):
     """End-to-end serving path on the flagship model: single-request latency
     and saturated batched throughput through InferenceEngine.infer_batch
@@ -211,6 +262,10 @@ def main():
     elif mode == "hidden":
         print(json.dumps(bench_hidden_step(
             stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)), flush=True)
+    elif mode == "feature":
+        print(json.dumps(bench_feature_step(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 16)),
+            flush=True)
     elif mode == "serve":
         bench_serving(
             batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
