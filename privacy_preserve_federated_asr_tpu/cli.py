@@ -53,6 +53,7 @@ def _dacs_cfg(args):
 
     return DACSConfig(
         backbone=_backbone_cfg(args.model_type),
+        method=getattr(args, "method", "dacs"),
         stage=args.STAGE,
         lambda_grl=args.LAMBDA,
         gs_tau=args.GS_TAU,
@@ -60,6 +61,7 @@ def _dacs_cfg(args):
         ad_loss=args.AD_loss,
         w_loss=tuple(args.W_LOSS) if args.W_LOSS else (0.1, 0.9),
         num_lms=args.num_lms,
+        grl_reverse=bool(getattr(args, "GRL", True)),
     )
 
 
@@ -100,7 +102,9 @@ def load_params(cfg, model_in: str | None, seed: int = 0):
 
         sd = torch.load(str(bin_path), map_location="cpu", weights_only=True)
     params["backbone"] = port_hf_state_dict(sd, cfg.backbone)
-    params.update(port_dacs_heads(sd))
+    # graft only heads this method's model actually has (variant recipes
+    # share the backbone but carry different heads — e.g. no 4D arbitrator)
+    params.update({k: v for k, v in port_dacs_heads(sd).items() if k in params})
     return params
 
 
@@ -118,6 +122,18 @@ def _load_examples(args, csv_path, with_transcript=True):
 
 def _add_common(p):
     p.add_argument("--model_type", default="data2vec", choices=sorted(BACKBONES))
+    p.add_argument("--method", default="dacs",
+                   choices=["dacs", "toggle_more", "grl", "single_toggle",
+                            "fsm"],
+                   help="method family (reference: trainer_data2vec_2st.py / "
+                        "functions/OtherMdls_Toggle_more.py / "
+                        "trainer_data2vec.py GRL / trainer_data2vec_toggle.py "
+                        "/ trainer_data2vec_5st.py)")
+    p.add_argument("-GRL", "--GRL", action="store_true", default=True,
+                   help="method=grl: gradient-reversed AD CE (reference "
+                        "trainer_data2vec.py --GRL / REVERSE flag)")
+    p.add_argument("--no_GRL", dest="GRL", action="store_false",
+                   help="method=grl: plain multi-task AD CE (REVERSE off)")
     p.add_argument("-model_in", "--model_in_path", default=None)
     p.add_argument("-model_out", "--model_out_path", default="./saves/model")
     p.add_argument("-log", "--log_path", default="train.txt")

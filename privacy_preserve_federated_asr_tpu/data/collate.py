@@ -4,7 +4,7 @@ The reference relies on HF dynamic padding + ``group_by_length``
 (reference: federated/src/models.py:1006-1068 DataCollatorCTCWithPadding,
 federated/src/update.py:434-464 TrainingArguments). Dynamic shapes force an
 XLA recompile per shape, so here utterances are sorted by length, grouped
-into batches, and每 batch padded up to *quantized* (time, label) bucket
+into batches, and each batch padded up to *quantized* (time, label) bucket
 boundaries — the number of distinct compiled shapes is bounded by the
 bucket grid, and padding waste stays small because each batch is built from
 a length-sorted view.

@@ -6,6 +6,16 @@ Replaces ``Extract_Emb`` / ``get_Embs`` / ``map_to_result``
 un-padded by frame length on the host, dumped to pickle-compatible
 DataFrames (same columns as the reference's ``<csv>.pkl`` so the downstream
 SVM / detail-WER / mask-statistics tools interoperate).
+
+Method families (``cfg.method``) mirror the reference's per-method eval
+scripts and their row schemas:
+
+* ``dacs``          — eval_toggle_GS.py: both masks + AD-masked logits
+* ``toggle_more``   — eval_toggle_more.py:230-262: same schema as dacs
+* ``fsm``           — eval_FSM.py:177-230: both (sigmoid-threshold) masks
+* ``single_toggle`` — eval_SingleToggle.py:118-132: ``lm_mask`` only; AD
+                      logits come from the lm-masked stream
+* ``grl``           — eval.py / eval_finetune.py: no masks; unmasked streams
 """
 
 from __future__ import annotations
@@ -22,7 +32,6 @@ from ..data.collate import LengthBucketBatcher
 from ..data.dataset import AsrExample
 from ..data.tokenizer import CTCCharTokenizer
 from ..models.config import DACSConfig
-from ..models.dacs import DACSModel
 from ..ops.decode import ad_vote, greedy_ids
 from ..train.steps import DeviceBatch
 
@@ -31,17 +40,36 @@ from ..train.steps import DeviceBatch
 class ExtractionRow:
     """One utterance's extraction record (reference row schema:
     update.py:182-212 — path/text/dementia_labels/hidden_states/pred_str/
-    dementia_mask/lm_mask/pred_AD/dementia logits)."""
+    dementia_mask/lm_mask/pred_AD/dementia logits). Mask fields are None for
+    methods whose model doesn't produce them (reference: eval_SingleToggle
+    has no dementia_mask column, eval.py/eval_finetune.py dump neither)."""
 
     path: str
     text: str | None
     dementia_labels: int
-    hidden_states: np.ndarray      # [T_valid, D]
-    lm_mask: np.ndarray            # [T_valid, D]
-    dementia_mask: np.ndarray      # [T_valid, D]
+    hidden_states: np.ndarray            # [T_valid, D]
+    lm_mask: np.ndarray | None           # [T_valid, D]
+    dementia_mask: np.ndarray | None     # [T_valid, D]
     pred_str: str
     pred_AD: int
-    dementia_logits: np.ndarray    # [T_valid, 2] (AD-masked stream)
+    dementia_logits: np.ndarray          # [T_valid, 2]
+
+
+def _extraction_streams(out, cfg: DACSConfig):
+    """Per-method (ctc_logits, ad_logits, lm_mask|None, ad_mask|None) for
+    extraction — the streams each reference eval script dumps."""
+    m = cfg.method
+    if m in ("dacs", "toggle_more"):
+        return out.logits, out.dementia_logits_ad, out.lm_mask, out.ad_mask
+    if m == "fsm":
+        return out.logits, out.dementia_logits, out.lm_mask, out.dementia_mask
+    if m == "single_toggle":
+        # reference eval_SingleToggle.py:335: AD logits from the lm-masked
+        # stream; only the lm mask exists
+        return out.logits, out.dementia_logits_lm, out.lm_mask, None
+    if m == "grl":
+        return out.logits_unmask, out.dementia_logits_unmask, None, None
+    raise ValueError(f"unknown method {m!r}")
 
 
 def extract_embeddings(
@@ -59,8 +87,11 @@ def extract_embeddings(
     extraction runs fp32 under DataParallel, so that stays the default."""
     import jax.numpy as jnp
 
-    model = DACSModel(cfg, dtype={"float32": jnp.float32,
-                                  "bfloat16": jnp.bfloat16}[compute_dtype])
+    from ..models.recipes import get_recipe
+
+    model = get_recipe(cfg.method).make_model(
+        cfg, dtype={"float32": jnp.float32,
+                    "bfloat16": jnp.bfloat16}[compute_dtype])
 
     @jax.jit
     def forward(p, batch: DeviceBatch):
@@ -68,10 +99,11 @@ def extract_embeddings(
             {"params": p}, batch.input_values, batch.input_lengths,
             deterministic=True, rngs={"gumbel": jax.random.PRNGKey(seed)},
         )
-        pred = greedy_ids(out.logits, out.frame_mask, cfg.backbone.pad_token_id)
-        ad_pred = ad_vote(out.dementia_logits_ad, out.frame_mask)
-        return (out.hidden_states, out.lm_mask, out.ad_mask,
-                out.dementia_logits_ad, pred, ad_pred, out.frame_lengths)
+        ctc_logits, ad_logits, lm_mask, ad_mask = _extraction_streams(out, cfg)
+        pred = greedy_ids(ctc_logits, out.frame_mask, cfg.backbone.pad_token_id)
+        ad_pred = ad_vote(ad_logits, out.frame_mask)
+        return (out.hidden_states, lm_mask, ad_mask,
+                ad_logits, pred, ad_pred, out.frame_lengths)
 
     batcher = LengthBucketBatcher(examples, batch_size, time_multiple=time_multiple)
     by_path = {e.path: e for e in examples}
@@ -87,8 +119,10 @@ def extract_embeddings(
                 text=ex.text,
                 dementia_labels=ex.dementia_label,
                 hidden_states=np.asarray(h[i, :n], dtype=np.float32),
-                lm_mask=np.asarray(lm[i, :n], dtype=np.float32),
-                dementia_mask=np.asarray(ad[i, :n], dtype=np.float32),
+                lm_mask=(None if lm is None
+                         else np.asarray(lm[i, :n], dtype=np.float32)),
+                dementia_mask=(None if ad is None
+                               else np.asarray(ad[i, :n], dtype=np.float32)),
                 pred_str=tokenizer.decode(pred[i]),
                 pred_AD=int(ad_pred[i]),
                 dementia_logits=np.asarray(dlog[i, :n], dtype=np.float32),
@@ -114,18 +148,26 @@ def rows_to_pickle(rows: list[ExtractionRow], path: str) -> None:
     names (so reference-era analysis notebooks load it directly)."""
     import pandas as pd
 
-    df = pd.DataFrame([{
-        "path": r.path,
-        "text": r.text,
-        "dementia_labels": r.dementia_labels,
-        # reference stores [1, T, D] (batch dim kept) — keep that shape
-        "hidden_states": r.hidden_states[None],
-        "lm_mask": r.lm_mask[None],
-        "dementia_mask": r.dementia_mask[None],
-        "pred_str": r.pred_str,
-        "pred_AD": r.pred_AD,
-        "dementia_logits": r.dementia_logits[None],
-    } for r in rows])
+    def row_dict(r: ExtractionRow):
+        d = {
+            "path": r.path,
+            "text": r.text,
+            "dementia_labels": r.dementia_labels,
+            # reference stores [1, T, D] (batch dim kept) — keep that shape
+            "hidden_states": r.hidden_states[None],
+            "pred_str": r.pred_str,
+            "pred_AD": r.pred_AD,
+            "dementia_logits": r.dementia_logits[None],
+        }
+        # mask columns only where the method produces them (reference:
+        # eval_SingleToggle.py has no dementia_mask column)
+        if r.lm_mask is not None:
+            d["lm_mask"] = r.lm_mask[None]
+        if r.dementia_mask is not None:
+            d["dementia_mask"] = r.dementia_mask[None]
+        return d
+
+    df = pd.DataFrame([row_dict(r) for r in rows])
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
         pickle.dump(df, f)

@@ -142,6 +142,13 @@ class FederatedEngine:
         params: Any,
         client_unsup_examples: dict[Any, Sequence[AsrExample]] | None = None,
     ):
+        if cfg.method != "dacs":
+            # the reference's FL pipeline exists for the DACS model only
+            # (federated/src/federated_main.py); variant methods are
+            # centralized-trainer recipes (models/recipes.py)
+            raise ValueError(
+                f"the federated engine drives the DACS method only, got "
+                f"method={cfg.method!r}")
         self.cfg = cfg
         self.fcfg = fcfg
         self.client_ids = sorted(client_examples.keys(), key=str)

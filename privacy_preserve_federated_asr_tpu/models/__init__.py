@@ -2,6 +2,7 @@ from .config import BackboneConfig, DACSConfig
 from .backbone import SSLBackbone, feat_extract_output_lengths
 from .dacs import DACSModel, DACSOutputs
 from .port import port_hf_state_dict
+from .recipes import RECIPES, Recipe, get_recipe, init_recipe_params
 from .whisper import (
     WhisperConfigT,
     WhisperModel,
@@ -25,4 +26,8 @@ __all__ = [
     "DACSModel",
     "DACSOutputs",
     "port_hf_state_dict",
+    "RECIPES",
+    "Recipe",
+    "get_recipe",
+    "init_recipe_params",
 ]

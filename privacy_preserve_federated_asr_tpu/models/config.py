@@ -157,6 +157,13 @@ class DACSConfig:
     Data2VecAudioForCTC.__init__ :262-326 and forward :375-631)."""
 
     backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    # method family (reference: one trainer script + model class per family;
+    # here a Recipe selected by name — models/recipes.py):
+    #   dacs          trainer_data2vec_2st.py / federated models.py (default)
+    #   grl           trainer_data2vec.py GRL/multi-task baseline
+    #   single_toggle trainer_data2vec_toggle.py (lm mask only)
+    #   fsm           trainer_data2vec_5st.py (sigmoid-threshold masks)
+    method: str = "dacs"
     stage: int = 2               # 0 = ASR fine-tune, 1 = AD head, 2 = toggling net
     lambda_grl: float = 0.5      # GRL strength (args.LAMBDA)
     gs_tau: float = 1.0          # gumbel-softmax temperature
@@ -166,6 +173,9 @@ class DACSConfig:
     am_loss_type: str = "cosface"
     num_ad_classes: int = 2
     num_lms: int = 1             # >1 enables multitask N-best lm heads
+    grl_reverse: bool = True     # method="grl": reference --GRL flag (REVERSE)
+    fsm_lm_thres: float = 0.5    # method="fsm": sigmoid mask thresholds
+    fsm_ad_thres: float = 0.5
     pool_valid_frames_only: bool = True
     # reference quirk: AD logits are mean-pooled over *all* timesteps incl.
     # padding (batch size 1 there). Set False to reproduce exactly.

@@ -99,8 +99,10 @@ def dacs_loss(
         return recall_family_loss(mean, dementia_labels, kind, w, sample_mask)
 
     need_unmask = aux_metrics or stage == 0
-    need_masked = aux_metrics or stage == 2
+    need_masked = aux_metrics or stage in (2, 3)
     need_ad_unmask = aux_metrics or stage == 1
+    # stage 3 (toggle_more) drops the AM-softmax term — DCE it there
+    need_score = aux_metrics or stage == 2
 
     loss_unmask = _ctc(outputs.logits_unmask) if need_unmask else zero
     loss_masked = _ctc(outputs.logits) if need_masked else zero
@@ -109,7 +111,7 @@ def dacs_loss(
     ad_loss_rev = _ad(outputs.dementia_logits_lm, reverse=True) if need_masked else zero
     ad_loss = _ad(outputs.dementia_logits_ad) if need_masked else zero
 
-    if need_masked:
+    if need_score:
         # diversity (AM-softmax) over stacked masked frame embeddings
         # (reference :592-607: rows = B*T frames of each stream, labels 0/1)
         h = outputs.hidden_states.astype(jnp.float32)
@@ -137,6 +139,11 @@ def dacs_loss(
         final = ad_loss_unmask
     elif stage == 2:
         final = loss_masked + ad_loss_rev + loss_r + ad_loss + score_loss
+    elif stage == 3:
+        # toggle_more stage 3 (joint arbitrator + both heads): the stage-2
+        # loss minus the AM-softmax term (reference:
+        # centralized/functions/OtherMdls_Toggle_more.py:1057-1060)
+        final = loss_masked + ad_loss_rev + loss_r + ad_loss
     else:
         raise ValueError(f"unknown stage {cfg.stage}")
 
@@ -167,6 +174,7 @@ def grl_multitask_loss(
     dementia_labels: jax.Array,
     cfg: DACSConfig,
     reverse: bool = True,
+    sample_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, dict[str, Any]]:
     """GRL/multi-task baseline (reference: centralized/Models.py:298-425
     ``Data2VecAudioForCTC(config, LAMBDA, REVERSE)``): CTC on the unmasked
@@ -181,6 +189,6 @@ def grl_multitask_loss(
         outputs.frame_mask, cfg.pool_valid_frames_only)
     if reverse:
         ad_mean = gradient_reversal(ad_mean, cfg.lambda_grl)
-    ad = recall_family_loss(ad_mean, dementia_labels, "cel", None)
+    ad = recall_family_loss(ad_mean, dementia_labels, "cel", None, sample_mask)
     final = loss_ctc + ad
     return final, {"loss": final, "ctc": loss_ctc, "ad": ad}

@@ -34,8 +34,9 @@ from ..ops.ctc import ctc_loss
 from ..ops.grl import gradient_reversal
 from ..ops.gumbel import gumbel_softmax
 from ..ops.losses import am_softmax_loss, fsm_attention_loss, recall_family_loss
-from .backbone import SSLBackbone, feat_extract_output_lengths
+from .backbone import feat_extract_output_lengths
 from .config import DACSConfig
+from .factory import make_backbone
 from .objectives import masked_time_mean
 
 
@@ -59,6 +60,7 @@ class SingleToggleModel(nn.Module):
     cfg: DACSConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, input_values, input_lengths=None, deterministic=True,
@@ -73,7 +75,8 @@ class SingleToggleModel(nn.Module):
         frame_lengths = feat_extract_output_lengths(c.backbone, input_lengths)
         frame_mask = (jnp.arange(t_frames)[None, :] < frame_lengths[:, None]).astype(jnp.int32)
 
-        h = SSLBackbone(c.backbone, self.dtype, self.remat, name="backbone")(
+        h = make_backbone(c.backbone, self.dtype, self.remat, self.scan_layers,
+                          name="backbone")(
             input_values, frame_mask, deterministic=backbone_deterministic)
         h = nn.Dropout(c.backbone.final_dropout)(h, deterministic=deterministic)
 
@@ -173,6 +176,7 @@ class FSMModel(nn.Module):
     cfg: DACSConfig
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    scan_layers: bool = False
     lm_thres: float = 0.5
     ad_thres: float = 0.5
 
@@ -189,7 +193,8 @@ class FSMModel(nn.Module):
         frame_lengths = feat_extract_output_lengths(c.backbone, input_lengths)
         frame_mask = (jnp.arange(t_frames)[None, :] < frame_lengths[:, None]).astype(jnp.int32)
 
-        h = SSLBackbone(c.backbone, self.dtype, self.remat, name="backbone")(
+        h = make_backbone(c.backbone, self.dtype, self.remat, self.scan_layers,
+                          name="backbone")(
             input_values, frame_mask, deterministic=backbone_deterministic)
         h = nn.Dropout(c.backbone.final_dropout)(h, deterministic=deterministic)
 

@@ -30,6 +30,9 @@ def stage_trainable_predicate(stage: int) -> Callable[[tuple[str, ...]], bool]:
       frozen (:304-310).
     stage 1 (AD classifier): only dementia_head trains (:311-317).
     stage 2 (toggling network): only the arbitrator trains (:318-323).
+    stage 3 (toggle_more joint fine-tune): arbitrator + lm_head +
+      dementia_head train; encoder and similar_fc stay frozen (reference:
+      centralized/functions/OtherMdls_Toggle_more.py:749-753).
     """
 
     def pred(path: tuple[str, ...]) -> bool:
@@ -44,6 +47,8 @@ def stage_trainable_predicate(stage: int) -> Callable[[tuple[str, ...]], bool]:
             return head == "dementia_head"
         if stage == 2:
             return head == "arbitrator"
+        if stage == 3:
+            return head in ("arbitrator", "lm_head", "dementia_head")
         raise ValueError(f"unknown stage {stage}")
 
     return pred

@@ -16,6 +16,7 @@ from ..data.collate import Batch
 from ..models.config import DACSConfig
 from ..models.dacs import DACSModel
 from ..models.objectives import dacs_loss
+from ..models.recipes import Recipe, get_recipe
 from ..ops.decode import ad_vote, greedy_ids
 from .optim import _path_strings, stage_trainable_predicate
 from .train_state import DACSTrainState
@@ -49,19 +50,27 @@ class DeviceBatch:
 
 
 def make_train_step(
-    model: DACSModel, tx: optax.GradientTransformation, cfg: DACSConfig,
-    aux_metrics: bool = False,
+    model, tx: optax.GradientTransformation, cfg: DACSConfig,
+    aux_metrics: bool = False, recipe: Recipe | None = None,
 ) -> Callable[[DACSTrainState, DeviceBatch], tuple[DACSTrainState, dict]]:
     """Build the pure train step for one optimizer/config pair.
 
-    Frozen parameters (per the stage's trainable predicate) are wrapped in
+    Method-agnostic: ``recipe`` (default ``cfg.method``) supplies the loss,
+    the trainable-parameter predicate and the backbone-trains flag
+    (models/recipes.py), so the same step serves the DACS, GRL,
+    single-toggle and FSM trainers.
+
+    Frozen parameters (per the recipe's trainable predicate) are wrapped in
     ``stop_gradient`` inside the loss so XLA dead-code-eliminates their
     backward pass entirely — in stages 1/2 that removes the whole encoder
     backward (the optimizer masking alone would still *compute* those
     gradients and then zero the updates). ``aux_metrics=False`` likewise
     prunes loss terms the stage doesn't consume (see dacs_loss).
     """
-    trainable = stage_trainable_predicate(cfg.stage)
+    recipe = recipe or get_recipe(cfg.method)
+    trainable = recipe.trainable(cfg.stage)
+    # frozen encoder: dropout off (reference .eval() parity)
+    backbone_det = not recipe.backbone_trains(cfg.stage)
 
     def _freeze(params):
         return jax.tree_util.tree_map_with_path(
@@ -72,7 +81,6 @@ def make_train_step(
 
     def train_step(state: DACSTrainState, batch: DeviceBatch):
         rngs, new_rng = state.next_rngs()
-        backbone_det = cfg.stage != 0  # frozen encoder: dropout off (parity)
 
         def loss_fn(params):
             params = _freeze(params)
@@ -80,10 +88,9 @@ def make_train_step(
                 {"params": params}, batch.input_values, batch.input_lengths,
                 deterministic=False, backbone_deterministic=backbone_det, rngs=rngs,
             )
-            return dacs_loss(out, batch.labels, batch.label_lengths,
-                             batch.dementia_labels, cfg,
-                             params["similar_fc"]["kernel"], batch.sample_mask,
-                             aux_metrics=aux_metrics)
+            return recipe.loss(out, batch.labels, batch.label_lengths,
+                               batch.dementia_labels, cfg, params,
+                               batch.sample_mask, aux_metrics)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -163,7 +170,8 @@ def make_hidden_train_step(
     round-invariant constant per utterance. Final dropout and the Gumbel
     noise stay live per step (they are applied after the cache point).
     """
-    assert cfg.stage in (1, 2), "cached-encoder training needs a frozen backbone"
+    assert not get_recipe(cfg.method).backbone_trains(cfg.stage), (
+        "cached-encoder training needs a frozen backbone")
     trainable = stage_trainable_predicate(cfg.stage)
 
     def _freeze(params):
@@ -352,25 +360,27 @@ def make_multitask_train_step(
     return train_step
 
 
-def _eval_from_outputs(out, params, batch, cfg: DACSConfig):
-    loss, metrics = dacs_loss(out, batch.labels, batch.label_lengths,
-                              batch.dementia_labels, cfg,
-                              params["similar_fc"]["kernel"], batch.sample_mask)
-    eval_logits = out.logits if cfg.stage == 2 else out.logits_unmask
-    pred_ids = greedy_ids(eval_logits, out.frame_mask, cfg.backbone.pad_token_id)
-    ad_pred = ad_vote(
-        out.dementia_logits_ad if cfg.stage == 2 else out.dementia_logits_unmask,
-        out.frame_mask)
+def _eval_from_outputs(out, params, batch, cfg: DACSConfig,
+                       recipe: Recipe | None = None):
+    recipe = recipe or get_recipe(cfg.method)
+    loss, _ = recipe.loss(out, batch.labels, batch.label_lengths,
+                          batch.dementia_labels, cfg, params,
+                          batch.sample_mask, True)
+    ctc_logits, ad_logits = recipe.eval_streams(out, cfg)
+    pred_ids = greedy_ids(ctc_logits, out.frame_mask, cfg.backbone.pad_token_id)
+    ad_pred = ad_vote(ad_logits, out.frame_mask)
     return loss, pred_ids, ad_pred
 
 
-def make_eval_step(model: DACSModel, cfg: DACSConfig):
+def make_eval_step(model, cfg: DACSConfig, recipe: Recipe | None = None):
+    recipe = recipe or get_recipe(cfg.method)
+
     def eval_step(params, batch: DeviceBatch):
         out = model.apply(
             {"params": params}, batch.input_values, batch.input_lengths,
             deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
         )
-        return _eval_from_outputs(out, params, batch, cfg)
+        return _eval_from_outputs(out, params, batch, cfg, recipe)
 
     return eval_step
 

@@ -26,8 +26,12 @@ class DACSTrainState:
 
 
 def init_dacs_params(cfg: DACSConfig, rng: jax.Array, example_len: int = 3200) -> Any:
-    """Randomly initialize DACS params (pretrained weights come from
-    :func:`..models.port.port_hf_state_dict` instead)."""
+    """Randomly initialize params for ``cfg.method``'s model (pretrained
+    weights come from :func:`..models.port.port_hf_state_dict` instead)."""
+    if cfg.method != "dacs":
+        from ..models.recipes import init_recipe_params
+
+        return init_recipe_params(cfg, rng, example_len)
     model = DACSModel(cfg)
     variables = model.init(
         {"params": rng, "gumbel": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},

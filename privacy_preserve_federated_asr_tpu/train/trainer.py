@@ -111,11 +111,16 @@ class Trainer:
             if cfg.backbone.attention_impl == "auto":
                 cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
                     cfg.backbone, attention_impl="xla"))
+        from ..models.recipes import get_recipe, validate_stage
+
+        validate_stage(cfg)
         self.cfg = cfg
         self.tcfg = tcfg
         self.tokenizer = tokenizer
-        self.model = DACSModel(cfg, dtype=_DTYPES[tcfg.compute_dtype],
-                               remat=tcfg.remat, scan_layers=tcfg.scan_layers)
+        self.recipe = get_recipe(cfg.method)
+        self.model = self.recipe.make_model(
+            cfg, dtype=_DTYPES[tcfg.compute_dtype],
+            remat=tcfg.remat, scan_layers=tcfg.scan_layers)
         if tcfg.scan_layers:
             # ported / per-layer checkpoints carry layers_{i}; the scan model
             # wants the stacked layout (same math — tests/test_backbone.py)
@@ -149,6 +154,7 @@ class Trainer:
             max_grad_norm=tcfg.max_grad_norm,
             warmup_steps=tcfg.warmup_steps,
             total_steps=total_steps,
+            trainable_pred=self.recipe.trainable(cfg.stage),
         )
         self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
         if tcfg.resume_from:
@@ -192,12 +198,18 @@ class Trainer:
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
         self._eval_cache = None  # staged eval batches (eval set is static)
 
-        if tcfg.cache_encoder and cfg.stage not in (1, 2):
-            raise ValueError("cache_encoder requires a frozen backbone "
-                             "(stage 1 or 2); stage 0 trains the encoder")
-        single_device = tcfg.dp == 1 and tcfg.tp == 1
+        if tcfg.cache_encoder and self.recipe.backbone_trains(cfg.stage):
+            raise ValueError("cache_encoder requires a frozen backbone; "
+                             f"method={cfg.method!r} stage {cfg.stage} "
+                             "trains the encoder")
+        if ((tcfg.cache_encoder or tcfg.cache_frontend)
+                and not self.recipe.supports_cache):
+            raise ValueError("frozen-forward caching is wired for the DACS "
+                             f"model only (method={cfg.method!r})")
+        single_device = (tcfg.dp == 1 and tcfg.tp == 1
+                         and self.recipe.supports_cache)
         self._cache_encoder = (
-            cfg.stage in (1, 2) and single_device
+            not self.recipe.backbone_trains(cfg.stage) and single_device
             if tcfg.cache_encoder is None
             else tcfg.cache_encoder and single_device)
         self._hidden = None       # train-set encoder-output cache arrays
@@ -221,10 +233,16 @@ class Trainer:
         self._features = None  # train-set conv-frontend cache arrays
         if self._cache_frontend:
             fstep = make_feature_train_step(self.model, self.tx, cfg)
-            self._feature_step = jax.jit(
-                lambda state, f, fl, lab, ll, dem, idx: fstep(
-                    state, gather_features(f, fl, lab, ll, dem, idx)),
-                donate_argnums=(0,))
+
+            def _fs(state, f, fl, lab, ll, dem, idx, t_b: int):
+                fb = gather_features(f, fl, lab, ll, dem, idx)
+                # crop the gathered rows to the batch's bucket length so the
+                # encoder runs at full-forward shapes (static under jit)
+                fb = dataclasses.replace(fb, features=fb.features[:, :t_b])
+                return fstep(state, fb)
+
+            self._feature_step = jax.jit(_fs, donate_argnums=(0,),
+                                         static_argnums=(7,))
             self._frontend_fwd = jax.jit(frontend_forward_fn(self.model))
 
     # ---- frozen-encoder output caching (stages 1/2) ----
@@ -242,12 +260,20 @@ class Trainer:
         """Conv-frontend outputs for every train utterance, computed once
         (stage-0 fast path): the feature extractor is frozen in every recipe
         and has no dropout, so this is a training-invariant constant.
+
+        Built with every build batch's AUDIO padded to the global max: the
+        conv frontend is strictly causal-windowed (frame i reads samples
+        [i*s, i*s+k)), so the row then holds, at every frame index, exactly
+        what a full forward at ANY batch padding >= that frame would compute
+        — the train loop can slice rows to each batch's own bucket length
+        (see _train_batches) and reproduce the full-forward path exactly.
         Returns None when the cache would exceed cache_budget_bytes."""
         return self._build_cache(self._frontend_fwd,
                                  self.cfg.backbone.conv_dim[-1],
-                                 "cache_frontend")
+                                 "cache_frontend", uniform_audio_pad=True)
 
-    def _build_cache(self, fwd, width: int, tag: str):
+    def _build_cache(self, fwd, width: int, tag: str,
+                     uniform_audio_pad: bool = False):
         """Per-utterance [n+1, T', width] cache of a frozen deterministic
         forward (row n = scratch for batch-padding rows)."""
         from ..data.collate import _round_up
@@ -280,8 +306,11 @@ class Trainer:
             lambda c, h, rows: c.at[rows, : h.shape[1]].set(h),
             donate_argnums=(0,))
         for g, b in zip(bat.epoch_indices(0), bat.epoch(0)):
+            iv = b.input_values
+            if uniform_audio_pad and iv.shape[1] < t_pad:
+                iv = np.pad(iv, ((0, 0), (0, t_pad - iv.shape[1])))
             h, fl = fwd(
-                self.state.params, jnp.asarray(b.input_values),
+                self.state.params, jnp.asarray(iv),
                 jnp.asarray(b.input_lengths))
             idx = np.asarray(g)
             rows = jnp.asarray(np.where(idx >= 0, idx, n))
@@ -404,11 +433,26 @@ class Trainer:
             if self._features is None:
                 self._features = self._build_frontend_cache() or False
             if self._features:
+                from ..data.collate import _round_up
+                from ..models.backbone import feat_extract_output_lengths
+
                 f, fl, lab, ll, dem = self._features
+                exs = self.train_batcher.examples
                 for g in self.train_batcher.epoch_indices(t.seed + epoch):
                     idx = np.asarray(g, np.int32)
+                    # run the step at this batch's own bucket length: the
+                    # pos-conv stack is NOT padding-invariant (its deeper
+                    # layers see the nonzero layer-1 outputs past the valid
+                    # region), so the encoder must see the same shapes as
+                    # the full-forward path / evaluation
+                    t_b = feat_extract_output_lengths(
+                        self.cfg.backbone,
+                        _round_up(max(len(exs[i].input_values)
+                                      for i in idx if i >= 0),
+                                  self.train_batcher.time_multiple))
                     yield int((idx >= 0).sum()), (
-                        self._feature_step, (f, fl, lab, ll, dem, jnp.asarray(idx)))
+                        self._feature_step,
+                        (f, fl, lab, ll, dem, jnp.asarray(idx), int(t_b)))
                 return
         for b, db in prefetch_device_batches(
                 self.train_batcher.epoch(epoch_seed=t.seed + epoch),

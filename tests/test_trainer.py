@@ -372,6 +372,26 @@ def test_cache_encoder_rejects_stage0():
                 TrainerConfig(cache_encoder=True))
 
 
+def _multibucket_examples(n=8, seed=0):
+    """Examples whose padded lengths SPAN several time buckets (3200/6400/
+    9600 at time_multiple=3200): the cached-frontend path must reproduce the
+    full-forward path at every bucket shape — the pos-conv stack is not
+    padding-invariant, so a one-bucket fixture would not catch a cache that
+    replays batches at the wrong padded length."""
+    rng = np.random.default_rng(seed)
+    out = []
+    lens = [3200, 4800, 6400, 8000, 9600, 3200, 7200, 5600]
+    for i in range(n):
+        ln = lens[i % len(lens)]
+        text = ["HI", "YES", "NO WAY", "OK"][i % 4]
+        arr = rng.normal(0, 1, size=ln).astype(np.float32)
+        out.append(AsrExample(
+            path=f"S{i:03d}_PAR_0_0.wav", array=arr, text=text,
+            dementia_label=i % 2, input_values=arr,
+            labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+    return out
+
+
 @pytest.mark.parametrize("dropout", [0.0, 0.2])
 def test_cached_frontend_trainer_matches_full_forward(dropout, tmp_path):
     """Stage 0 trains on CACHED conv-frontend outputs by default (the
@@ -379,7 +399,8 @@ def test_cached_frontend_trainer_matches_full_forward(dropout, tmp_path):
     final params, losses and eval metrics must reproduce the full-forward
     path — including with live dropout, because flax RNG streams are
     module-path-keyed and every stochastic layer sits after the cache
-    point."""
+    point, and across MIXED time buckets, because the cached step replays
+    each batch at its own bucket length."""
     results = {}
     for cached in (False, True):
         cfg = DACSConfig(
@@ -388,8 +409,9 @@ def test_cached_frontend_trainer_matches_full_forward(dropout, tmp_path):
                 activation_dropout=0.0, final_dropout=dropout),
             stage=0, ad_loss="cel")
         params = init_dacs_params(cfg, jax.random.PRNGKey(7))
-        tr = Trainer(cfg, jax.tree.map(np.array, params), _examples(6),
-                     _examples(4, seed=9), TOK,
+        tr = Trainer(cfg, jax.tree.map(np.array, params),
+                     _multibucket_examples(8), _multibucket_examples(4, seed=9),
+                     TOK,
                      TrainerConfig(num_epochs=2, batch_size=4,
                                    time_multiple=3200, warmup_steps=1,
                                    logging_steps=100, eval_steps=10_000,
