@@ -61,7 +61,7 @@ def _dacs_cfg(args):
         ad_loss=args.AD_loss,
         w_loss=tuple(args.W_LOSS) if args.W_LOSS else (0.1, 0.9),
         num_lms=args.num_lms,
-        grl_reverse=bool(getattr(args, "GRL", True)),
+        grl_reverse=bool(getattr(args, "GRL", False)),
     )
 
 
@@ -102,9 +102,23 @@ def load_params(cfg, model_in: str | None, seed: int = 0):
 
         sd = torch.load(str(bin_path), map_location="cpu", weights_only=True)
     params["backbone"] = port_hf_state_dict(sd, cfg.backbone)
-    # graft only heads this method's model actually has (variant recipes
-    # share the backbone but carry different heads — e.g. no 4D arbitrator)
-    params.update({k: v for k, v in port_dacs_heads(sd).items() if k in params})
+    _graft_matching_heads(params, port_dacs_heads(sd))
+    return params
+
+
+def _graft_matching_heads(params: dict, ported: dict) -> dict:
+    """Graft ported head subtrees into ``params`` in place — only heads this
+    method's model actually has, and only at matching shapes (variant
+    recipes share the backbone but carry different heads — e.g.
+    single-toggle's arbitrator is D->2D while a DACS checkpoint's is D->4D;
+    a key-only match would graft a wrong-shaped kernel that explodes inside
+    jit)."""
+    import jax
+
+    shapes = lambda t: jax.tree.map(lambda a: tuple(a.shape), t)
+    for k, v in ported.items():
+        if k in params and shapes(v) == shapes(params[k]):
+            params[k] = v
     return params
 
 
@@ -129,11 +143,11 @@ def _add_common(p):
                         "functions/OtherMdls_Toggle_more.py / "
                         "trainer_data2vec.py GRL / trainer_data2vec_toggle.py "
                         "/ trainer_data2vec_5st.py)")
-    p.add_argument("-GRL", "--GRL", action="store_true", default=True,
+    p.add_argument("-GRL", "--GRL", action="store_true", default=False,
                    help="method=grl: gradient-reversed AD CE (reference "
-                        "trainer_data2vec.py --GRL / REVERSE flag)")
-    p.add_argument("--no_GRL", dest="GRL", action="store_false",
-                   help="method=grl: plain multi-task AD CE (REVERSE off)")
+                        "trainer_data2vec.py:106 --GRL / REVERSE flag, "
+                        "default off there too); omit for the plain "
+                        "multi-task AD CE baseline")
     p.add_argument("-model_in", "--model_in_path", default=None)
     p.add_argument("-model_out", "--model_out_path", default="./saves/model")
     p.add_argument("-log", "--log_path", default="train.txt")

@@ -55,23 +55,6 @@ class ExtractionRow:
     dementia_logits: np.ndarray          # [T_valid, 2]
 
 
-def _extraction_streams(out, cfg: DACSConfig):
-    """Per-method (ctc_logits, ad_logits, lm_mask|None, ad_mask|None) for
-    extraction — the streams each reference eval script dumps."""
-    m = cfg.method
-    if m in ("dacs", "toggle_more"):
-        return out.logits, out.dementia_logits_ad, out.lm_mask, out.ad_mask
-    if m == "fsm":
-        return out.logits, out.dementia_logits, out.lm_mask, out.dementia_mask
-    if m == "single_toggle":
-        # reference eval_SingleToggle.py:335: AD logits from the lm-masked
-        # stream; only the lm mask exists
-        return out.logits, out.dementia_logits_lm, out.lm_mask, None
-    if m == "grl":
-        return out.logits_unmask, out.dementia_logits_unmask, None, None
-    raise ValueError(f"unknown method {m!r}")
-
-
 def extract_embeddings(
     cfg: DACSConfig,
     params,
@@ -89,7 +72,8 @@ def extract_embeddings(
 
     from ..models.recipes import get_recipe
 
-    model = get_recipe(cfg.method).make_model(
+    recipe = get_recipe(cfg.method)
+    model = recipe.make_model(
         cfg, dtype={"float32": jnp.float32,
                     "bfloat16": jnp.bfloat16}[compute_dtype])
 
@@ -99,7 +83,7 @@ def extract_embeddings(
             {"params": p}, batch.input_values, batch.input_lengths,
             deterministic=True, rngs={"gumbel": jax.random.PRNGKey(seed)},
         )
-        ctc_logits, ad_logits, lm_mask, ad_mask = _extraction_streams(out, cfg)
+        ctc_logits, ad_logits, lm_mask, ad_mask = recipe.extract_streams(out, cfg)
         pred = greedy_ids(ctc_logits, out.frame_mask, cfg.backbone.pad_token_id)
         ad_pred = ad_vote(ad_logits, out.frame_mask)
         return (out.hidden_states, lm_mask, ad_mask,

@@ -173,7 +173,9 @@ class DACSConfig:
     am_loss_type: str = "cosface"
     num_ad_classes: int = 2
     num_lms: int = 1             # >1 enables multitask N-best lm heads
-    grl_reverse: bool = True     # method="grl": reference --GRL flag (REVERSE)
+    # method="grl": reference --GRL flag (REVERSE). Default False like the
+    # reference (trainer_data2vec.py:106) — omit for the plain multi-task CE
+    grl_reverse: bool = False
     fsm_lm_thres: float = 0.5    # method="fsm": sigmoid mask thresholds
     fsm_ad_thres: float = 0.5
     pool_valid_frames_only: bool = True

@@ -47,7 +47,11 @@ class Recipe:
     ``(outputs, labels, label_lengths, dementia_labels, cfg, params,
     sample_mask, aux_metrics) -> (final_loss, metrics)``.
     ``eval_streams(outputs, cfg) -> (ctc_logits, ad_logits)`` picks the
-    streams greedy decode and the AD vote consume during evaluation.
+    streams greedy decode and the AD vote consume during evaluation and
+    serving.
+    ``extract_streams(outputs, cfg) -> (ctc_logits, ad_logits,
+    lm_mask | None, ad_mask | None)`` picks what the method's reference
+    eval script dumps per utterance (evaluation/extract.py row schema).
     """
 
     name: str
@@ -57,6 +61,7 @@ class Recipe:
     trainable: Callable[[int], Callable[[tuple[str, ...]], bool]]
     backbone_trains: Callable[[int], bool]
     eval_streams: Callable[[Any, DACSConfig], tuple[jax.Array, jax.Array]]
+    extract_streams: Callable[[Any, DACSConfig], tuple]
     # frozen-forward caching (trainer cache_encoder/cache_frontend + the
     # federated engine's cached rounds) is wired for the DACS model only
     supports_cache: bool = False
@@ -85,6 +90,12 @@ def _dacs_eval_streams(out, cfg):
     return out.logits_unmask, out.dementia_logits_unmask
 
 
+def _dacs_extract_streams(out, cfg):
+    """eval_toggle_GS.py / eval_toggle_more.py row: both masks + AD-masked
+    dementia logits."""
+    return out.logits, out.dementia_logits_ad, out.lm_mask, out.ad_mask
+
+
 DACS = Recipe(
     name="dacs",
     stages=(0, 1, 2),
@@ -94,6 +105,7 @@ DACS = Recipe(
     trainable=_dacs_stage_trainable,
     backbone_trains=lambda stage: stage == 0,
     eval_streams=_dacs_eval_streams,
+    extract_streams=_dacs_extract_streams,
     supports_cache=True,
 )
 
@@ -122,6 +134,7 @@ TOGGLE_MORE = Recipe(
     # the encoder is frozen in every toggle_more stage (only heads train)
     backbone_trains=lambda stage: False,
     eval_streams=_toggle_more_eval_streams,
+    extract_streams=_dacs_extract_streams,
     supports_cache=True,
 )
 
@@ -161,6 +174,9 @@ GRL = Recipe(
     backbone_trains=lambda stage: True,
     eval_streams=lambda out, cfg: (out.logits_unmask,
                                    out.dementia_logits_unmask),
+    # eval.py / eval_finetune.py rows carry no mask columns
+    extract_streams=lambda out, cfg: (out.logits_unmask,
+                                      out.dementia_logits_unmask, None, None),
 )
 
 
@@ -186,7 +202,12 @@ SINGLE_TOGGLE = Recipe(
     # the backbone is frozen in every single-toggle stage
     # (trainer_data2vec_toggle.py:83-100)
     backbone_trains=lambda stage: False,
-    eval_streams=lambda out, cfg: (out.logits, out.dementia_logits_unmask),
+    # AD logits come from the lm-masked stream — the stream the method
+    # trains and its eval script dumps (eval_SingleToggle.py:341,454)
+    eval_streams=lambda out, cfg: (out.logits, out.dementia_logits_lm),
+    # eval_SingleToggle.py rows: lm_mask only, no dementia_mask column
+    extract_streams=lambda out, cfg: (out.logits, out.dementia_logits_lm,
+                                      out.lm_mask, None),
 )
 
 
@@ -212,6 +233,9 @@ FSM = Recipe(
     # stages 1/2 fine-tune the encoder (trainer_data2vec_5st.py:108-148)
     backbone_trains=lambda stage: stage in (1, 2),
     eval_streams=lambda out, cfg: (out.logits, out.dementia_logits),
+    # eval_FSM.py:177-230: both (sigmoid-threshold) masks
+    extract_streams=lambda out, cfg: (out.logits, out.dementia_logits,
+                                      out.lm_mask, out.dementia_mask),
 )
 
 

@@ -38,7 +38,7 @@ import numpy as np
 from ..data.audio import normalize_input_values
 from ..data.tokenizer import CTCCharTokenizer
 from ..models.config import DACSConfig
-from ..models.dacs import DACSModel
+from ..models.recipes import get_recipe
 from ..ops.decode import ad_vote, greedy_ids
 
 
@@ -65,7 +65,7 @@ class InferenceResult:
 
 
 class InferenceEngine:
-    """Jitted, bucketed, micro-batched forward over a DACS model.
+    """Jitted, bucketed, micro-batched forward over the method's model.
 
     ``infer_batch`` is the synchronous core; ``submit``/``infer`` go
     through the micro-batching dispatcher (start it with :meth:`start`).
@@ -83,21 +83,19 @@ class InferenceEngine:
         self.scfg = scfg
         self.tokenizer = tokenizer or CTCCharTokenizer()
         self.params = params
-        self.model = DACSModel(
+        recipe = get_recipe(cfg.method)
+        self.model = recipe.make_model(
             cfg, dtype={"float32": jnp.float32,
                         "bfloat16": jnp.bfloat16}[scfg.compute_dtype])
-        stage2 = cfg.stage == 2
 
         def forward(p, input_values, input_lengths):
             out = self.model.apply(
                 {"params": p}, input_values, input_lengths,
                 deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
             )
-            # stage-2 models serve the privacy-masked (AD-free) ASR stream
-            # and the AD-masked classifier stream; earlier stages the plain
-            # heads (same switch as the evaluator, train/steps.py)
-            logits = out.logits if stage2 else out.logits_unmask
-            dlog = out.dementia_logits_ad if stage2 else out.dementia_logits_unmask
+            # serve the method's evaluation streams (models/recipes.py —
+            # e.g. DACS stage 2: privacy-masked ASR + AD-masked classifier)
+            logits, dlog = recipe.eval_streams(out, cfg)
             pred = greedy_ids(logits, out.frame_mask, cfg.backbone.pad_token_id)
             ad_pred = ad_vote(dlog, out.frame_mask)
             probs = jax.nn.softmax(dlog.astype(jnp.float32), axis=-1)[..., 1]

@@ -15,7 +15,6 @@ import optax
 from ..data.collate import Batch
 from ..models.config import DACSConfig
 from ..models.dacs import DACSModel
-from ..models.objectives import dacs_loss
 from ..models.recipes import Recipe, get_recipe
 from ..ops.decode import ad_vote, greedy_ids
 from .optim import _path_strings, stage_trainable_predicate
@@ -170,9 +169,10 @@ def make_hidden_train_step(
     round-invariant constant per utterance. Final dropout and the Gumbel
     noise stay live per step (they are applied after the cache point).
     """
-    assert not get_recipe(cfg.method).backbone_trains(cfg.stage), (
+    recipe = get_recipe(cfg.method)
+    assert not recipe.backbone_trains(cfg.stage), (
         "cached-encoder training needs a frozen backbone")
-    trainable = stage_trainable_predicate(cfg.stage)
+    trainable = recipe.trainable(cfg.stage)
 
     def _freeze(params):
         return jax.tree_util.tree_map_with_path(
@@ -195,10 +195,9 @@ def make_hidden_train_step(
                 batch.frame_lengths, deterministic=False, rngs=rngs,
                 method=DACSModel.apply_heads,
             )
-            return dacs_loss(out, batch.labels, batch.label_lengths,
-                             batch.dementia_labels, cfg,
-                             params["similar_fc"]["kernel"], batch.sample_mask,
-                             aux_metrics=aux_metrics)
+            return recipe.loss(out, batch.labels, batch.label_lengths,
+                               batch.dementia_labels, cfg, params,
+                               batch.sample_mask, aux_metrics)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -268,7 +267,9 @@ def make_feature_train_step(
     Everything stochastic (feat-proj dropout, SpecAugment, encoder dropouts,
     final dropout, Gumbel) sits after the cache point and stays live.
     """
-    trainable = stage_trainable_predicate(cfg.stage)
+    recipe = get_recipe(cfg.method)
+    trainable = recipe.trainable(cfg.stage)
+    backbone_det = not recipe.backbone_trains(cfg.stage)
 
     def _freeze(params):
         return jax.tree_util.tree_map_with_path(
@@ -283,7 +284,6 @@ def make_feature_train_step(
         frame_mask = (
             jnp.arange(t)[None, :] < batch.frame_lengths[:, None]
         ).astype(jnp.int32)
-        backbone_det = cfg.stage != 0
 
         def loss_fn(params):
             params = _freeze(params)
@@ -293,10 +293,9 @@ def make_feature_train_step(
                 backbone_deterministic=backbone_det, rngs=rngs,
                 method=DACSModel.apply_from_features,
             )
-            return dacs_loss(out, batch.labels, batch.label_lengths,
-                             batch.dementia_labels, cfg,
-                             params["similar_fc"]["kernel"], batch.sample_mask,
-                             aux_metrics=aux_metrics)
+            return recipe.loss(out, batch.labels, batch.label_lengths,
+                               batch.dementia_labels, cfg, params,
+                               batch.sample_mask, aux_metrics)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

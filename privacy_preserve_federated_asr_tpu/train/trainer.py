@@ -224,8 +224,21 @@ class Trainer:
             self._hidden_eval_step = jax.jit(
                 lambda state, hb: hes(state.params, hb))
             self._encoder_fwd = jax.jit(backbone_forward_fn(self.model))
+        # the frontend cache's "same value at any batch padding" invariant
+        # needs every frontend op to be per-frame: true for "layer"
+        # feat_extract_norm (causal conv windows + per-frame LN), FALSE for
+        # "group" (wav2vec2-base, sew-d): GroupNorm in conv layer 0
+        # normalizes each channel over the whole padded time axis, so its
+        # output depends on the batch's total padded length
+        frontend_cacheable = cfg.backbone.feat_extract_norm == "layer"
+        if tcfg.cache_frontend and not frontend_cacheable:
+            raise ValueError(
+                "cache_frontend requires a padding-invariant conv frontend "
+                "(feat_extract_norm='layer'); "
+                f"{cfg.backbone.model_type!r} uses GroupNorm over the time "
+                "axis, whose output depends on batch padding")
         self._cache_frontend = (
-            cfg.stage == 0 and single_device
+            cfg.stage == 0 and single_device and frontend_cacheable
             if tcfg.cache_frontend is None
             else tcfg.cache_frontend and single_device)
         if self._cache_encoder:
@@ -261,12 +274,15 @@ class Trainer:
         (stage-0 fast path): the feature extractor is frozen in every recipe
         and has no dropout, so this is a training-invariant constant.
 
-        Built with every build batch's AUDIO padded to the global max: the
-        conv frontend is strictly causal-windowed (frame i reads samples
-        [i*s, i*s+k)), so the row then holds, at every frame index, exactly
-        what a full forward at ANY batch padding >= that frame would compute
-        — the train loop can slice rows to each batch's own bucket length
-        (see _train_batches) and reproduce the full-forward path exactly.
+        Built with every build batch's AUDIO padded to the global max: with
+        feat_extract_norm="layer" (enforced in __init__) every frontend op
+        is per-frame — conv frame i reads samples [i*s, i*s+k), LayerNorm
+        normalizes over channels only — so the row holds, at every frame
+        index, exactly what a full forward at ANY batch padding >= that
+        frame would compute; the train loop can slice rows to each batch's
+        own bucket length (see _train_batches) and reproduce the
+        full-forward path exactly. ("group" frontends are rejected: their
+        GroupNorm reduces over the time axis, breaking the invariant.)
         Returns None when the cache would exceed cache_budget_bytes."""
         return self._build_cache(self._frontend_fwd,
                                  self.cfg.backbone.conv_dim[-1],

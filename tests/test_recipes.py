@@ -229,6 +229,87 @@ def test_extraction_row_schema_per_method(method, has_lm, has_ad, tmp_path):
     assert ("dementia_mask" in df.columns) == has_ad
 
 
+def test_single_toggle_eval_and_extract_agree_on_ad_stream():
+    """In-training evaluation and extraction must score the SAME AD stream
+    (the lm-masked one the method trains and its reference eval script
+    dumps, eval_SingleToggle.py:341,454) — a drift here means eval_ad_acc
+    and pickled pred_AD come from different classifiers."""
+    cfg = _cfg("single_toggle", 2)
+    r = get_recipe("single_toggle")
+    params = init_recipe_params(cfg, jax.random.PRNGKey(0))
+    model = r.make_model(cfg)
+    iv = jnp.asarray(np.random.default_rng(0).normal(0, 1, (2, 3200)),
+                     dtype=jnp.float32)
+    out = model.apply({"params": params}, iv, deterministic=True,
+                      rngs={"gumbel": jax.random.PRNGKey(0)})
+    assert r.eval_streams(out, cfg)[1] is out.dementia_logits_lm
+    assert r.extract_streams(out, cfg)[1] is out.dementia_logits_lm
+
+
+def test_frontend_cache_rejected_for_groupnorm_frontend():
+    """GroupNorm conv frontends (wav2vec2-base, sew-d) normalize each
+    channel over the whole padded time axis, so the frontend cache's
+    value-at-any-padding invariant does not hold: explicit cache_frontend
+    must be rejected and the default must stay off."""
+    cfg = DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0).replace(feat_extract_norm="group"),
+        stage=0, ad_loss="cel")
+    from privacy_preserve_federated_asr_tpu.train.train_state import (
+        init_dacs_params as init,
+    )
+
+    params = init(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="padding-invariant"):
+        Trainer(cfg, params, _examples(4), None, TOK,
+                TrainerConfig(cache_frontend=True))
+    tr = Trainer(cfg, params, _examples(4), None, TOK, TrainerConfig())
+    assert not tr._cache_frontend
+
+
+def test_graft_matching_heads_skips_mismatched_shapes():
+    """A DACS torch checkpoint's D->4D arbitrator must not be grafted into
+    a single-toggle (D->2D) param tree; matching heads still graft."""
+    from privacy_preserve_federated_asr_tpu.cli import _graft_matching_heads
+
+    d, v = 8, 5
+    params = {
+        "arbitrator": {"kernel": np.zeros((d, 2 * d)), "bias": np.zeros(2 * d)},
+        "lm_head": {"kernel": np.zeros((d, v)), "bias": np.zeros(v)},
+    }
+    ported = {
+        "arbitrator": {"kernel": np.ones((d, 4 * d)), "bias": np.ones(4 * d)},
+        "lm_head": {"kernel": np.ones((d, v)), "bias": np.ones(v)},
+        "dementia_head": {"kernel": np.ones((d, 2)), "bias": np.ones(2)},
+    }
+    _graft_matching_heads(params, ported)
+    assert params["arbitrator"]["kernel"].shape == (d, 2 * d)
+    assert float(params["arbitrator"]["kernel"].sum()) == 0.0  # untouched
+    assert float(params["lm_head"]["kernel"].sum()) == d * v   # grafted
+    assert "dementia_head" not in params                       # absent head
+
+
+def test_serving_engine_uses_method_model():
+    """cli serve accepts --method; the engine must build the recipe's model
+    and serve its eval streams (a DACSModel against a variant tree would
+    die inside apply)."""
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine,
+        ServingConfig,
+    )
+
+    cfg = _cfg("single_toggle", 2)
+    params = init_recipe_params(cfg, jax.random.PRNGKey(0))
+    eng = InferenceEngine(cfg, params, TOK,
+                          ServingConfig(batch_size=2, time_multiple=3200,
+                                        max_seconds=1.0,
+                                        compute_dtype="float32"))
+    res = eng.infer_batch([np.random.default_rng(0)
+                           .normal(0, 0.3, 3200).astype(np.float32)])[0]
+    assert res.ad_pred in (0, 1) and res.frames > 0
+
+
 def test_variant_param_trees_have_expected_heads():
     st = init_recipe_params(_cfg("single_toggle", 2), jax.random.PRNGKey(0))
     assert set(st) >= {"backbone", "arbitrator", "lm_head", "dementia_head"}
