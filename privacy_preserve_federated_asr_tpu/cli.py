@@ -164,7 +164,10 @@ def _add_common(p):
     p.add_argument("--eval_steps", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compute_dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "int8"],
+                   help="int8 (dynamic-W8A8 quantized matmuls, ops/quant.py)"
+                        " applies to the inference surfaces only "
+                        "(extract/serve); training is fp32/bf16")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="compile one encoder layer scanned over N "

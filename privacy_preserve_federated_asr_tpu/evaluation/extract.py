@@ -66,16 +66,15 @@ def extract_embeddings(
     compute_dtype: str = "float32",
 ) -> list[ExtractionRow]:
     """``compute_dtype="bfloat16"`` runs the forward in bf16 (the serving
-    precision; dumped rows are float32 either way) — the reference's batched
-    extraction runs fp32 under DataParallel, so that stays the default."""
-    import jax.numpy as jnp
-
+    precision; dumped rows are float32 either way) and ``"int8"`` adds
+    dynamic-W8A8 Dense matmuls (ops/quant.py) on top of bf16 — the
+    reference's batched extraction runs fp32 under DataParallel, so that
+    stays the default."""
     from ..models.recipes import get_recipe
 
+    cfg, dtype = cfg.resolve_compute(compute_dtype)
     recipe = get_recipe(cfg.method)
-    model = recipe.make_model(
-        cfg, dtype={"float32": jnp.float32,
-                    "bfloat16": jnp.bfloat16}[compute_dtype])
+    model = recipe.make_model(cfg, dtype=dtype)
 
     @jax.jit
     def forward(p, batch: DeviceBatch):

@@ -40,6 +40,19 @@ ACT2FN: dict[str, Callable] = {
 }
 
 
+def _dense_dot(cfg: BackboneConfig):
+    """Dense ``dot_general`` by config: None (lax default, fp training
+    semantics) or the dynamic-W8A8 int8 matmul (ops/quant.py) for the
+    inference-only ``dense_impl="int8"`` mode."""
+    if cfg.dense_impl == "fp":
+        return None
+    if cfg.dense_impl == "int8":
+        from ..ops.quant import int8_dense_dot_general
+
+        return int8_dense_dot_general
+    raise ValueError(f"unknown dense_impl {cfg.dense_impl!r}")
+
+
 def feat_extract_output_lengths(cfg: BackboneConfig, input_lengths: jax.Array) -> jax.Array:
     """Waveform sample count -> encoder frame count via the conv formula
     ``floor((len - kernel) / stride) + 1`` per layer (reference:
@@ -104,9 +117,8 @@ class FeatureProjection(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="layer_norm")(x)
-        x = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="projection")(
-            x.astype(self.dtype)
-        )
+        x = nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="projection",
+                     dot_general=_dense_dot(self.cfg))(x.astype(self.dtype))
         return nn.Dropout(self.cfg.feat_proj_dropout)(x, deterministic=deterministic)
 
 
@@ -187,7 +199,8 @@ class Attention(nn.Module):
         h, d = cfg.num_attention_heads, cfg.head_dim
 
         def proj(name):
-            return nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name)
+            return nn.Dense(cfg.hidden_size, dtype=self.dtype, name=name,
+                            dot_general=_dense_dot(cfg))
 
         b, t, _ = x.shape
         impl = cfg.attention_impl
@@ -238,10 +251,12 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         cfg = self.cfg
-        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype, name="intermediate_dense")(x)
+        x = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
+                     name="intermediate_dense", dot_general=_dense_dot(cfg))(x)
         x = ACT2FN[cfg.hidden_act](x)
         x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
-        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(x)
+        x = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense",
+                     dot_general=_dense_dot(cfg))(x)
         return nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
 
 

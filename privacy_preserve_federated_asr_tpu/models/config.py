@@ -47,6 +47,10 @@ class BackboneConfig:
     # flash kernel once T >= 1024 frames (where XLA's materialized [T, T]
     # buffers stop compiling on v5e); or force "xla" / "pallas".
     attention_impl: str = "auto"
+    # "fp": matmuls in `dtype` (training semantics). "int8": dynamic W8A8
+    # quantized Dense matmuls (ops/quant.py) on the MXU's double-rate s8
+    # path — INFERENCE ONLY (serving/extraction; Trainer rejects it).
+    dense_impl: str = "fp"
 
     # SEW-D extras (squeezed encoder + DeBERTa-v2 disentangled attention)
     squeeze_factor: int = 1
@@ -185,6 +189,19 @@ class DACSConfig:
     @property
     def hidden_size(self) -> int:
         return self.backbone.hidden_size
+
+    def resolve_compute(self, compute_dtype: str):
+        """(cfg, jnp dtype) for an inference surface's ``compute_dtype``
+        choice: "float32" / "bfloat16" pick the matmul dtype; "int8" is
+        bf16 compute with dynamic-W8A8 Dense matmuls (ops/quant.py,
+        inference-only)."""
+        import jax.numpy as jnp
+
+        if compute_dtype == "int8":
+            return (self.replace(backbone=self.backbone.replace(
+                dense_impl="int8")), jnp.bfloat16)
+        return self, {"float32": jnp.float32,
+                      "bfloat16": jnp.bfloat16}[compute_dtype]
 
     def replace(self, **kw) -> "DACSConfig":
         return dataclasses.replace(self, **kw)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .backbone import ACT2FN, FeatureEncoder
+from .backbone import ACT2FN, FeatureEncoder, _dense_dot
 from .config import BackboneConfig
 
 
@@ -64,9 +64,12 @@ class DisentangledSelfAttention(nn.Module):
         b, t, _ = x.shape
         span = c.position_buckets if c.position_buckets > 0 else c.max_position_embeddings
 
-        q_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="query_proj")
-        k_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="key_proj")
-        v_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="value_proj")
+        q_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="query_proj",
+                          dot_general=_dense_dot(c))
+        k_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="key_proj",
+                          dot_general=_dense_dot(c))
+        v_proj = nn.Dense(c.hidden_size, dtype=self.dtype, name="value_proj",
+                          dot_general=_dense_dot(c))
 
         def heads(y, n):
             return y.reshape(y.shape[0], n, h, d)
@@ -124,13 +127,16 @@ class SEWDLayer(nn.Module):
         c = self.cfg
         attn = DisentangledSelfAttention(c, self.dtype, name="attention_self")(
             x, rel_embeddings, relative_pos, key_bias, deterministic)
-        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output")(attn)
+        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_output",
+                        dot_general=_dense_dot(c))(attn)
         attn = nn.Dropout(c.hidden_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_layer_norm")(
             x + attn).astype(self.dtype)
-        inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(x)
+        inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate",
+                         dot_general=_dense_dot(c))(x)
         inter = ACT2FN[c.hidden_act](inter)
-        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(inter)
+        out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output",
+                       dot_general=_dense_dot(c))(inter)
         out = nn.Dropout(c.hidden_dropout)(out, deterministic=deterministic)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_layer_norm")(
             x + out).astype(self.dtype)
@@ -149,7 +155,8 @@ class SEWDBackbone(nn.Module):
         x = nn.LayerNorm(epsilon=c.feature_layer_norm_eps, name="layer_norm")(feats)
         x = x.astype(self.dtype)
         if c.conv_dim[-1] != c.hidden_size:
-            x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection")(x)
+            x = nn.Dense(c.hidden_size, dtype=self.dtype, name="feature_projection",
+                         dot_general=_dense_dot(c))(x)
         x = nn.Dropout(c.feat_proj_dropout)(x, deterministic=deterministic)
 
         t_conv = x.shape[1]
@@ -199,7 +206,8 @@ class SEWDBackbone(nn.Module):
                 h, rel_embeddings, relative_pos, key_bias, deterministic)
 
         # upsample back to the conv frame rate
-        up = nn.Dense(c.hidden_size * sq, dtype=self.dtype, name="upsample")(h)
+        up = nn.Dense(c.hidden_size * sq, dtype=self.dtype, name="upsample",
+                      dot_general=_dense_dot(c))(h)
         up = ACT2FN[c.feat_extract_activation](up)
         b = up.shape[0]
         up = up.reshape(b, t_inner * sq, c.hidden_size)

@@ -1,0 +1,72 @@
+"""Int8 (W8A8) dynamic-quantization matmul for the inference path.
+
+PERF.md §4: at the model's row count this chip's bf16 dependent-matmul
+ceiling is ~92 TFLOP/s; the MXU's int8 path doubles that. Training
+semantics forbid it (the reference trains fp16 with fp32 CTC), but the
+forward-only surfaces — serving (serving/engine.py), batched extraction
+(evaluation/extract.py) — are free to trade a bounded quantization error
+for ~2× matmul rate.
+
+Recipe (standard dynamic W8A8, computed inside the jitted forward):
+
+* activations: symmetric per-token (per row of the [.., T, D] input)
+  abs-max scaling to int8 — dynamic, no calibration pass;
+* weights: symmetric per-output-channel abs-max scaling to int8
+  (re-quantized from the live fp kernel each call: the extra read of the
+  weight matrix is ~1 ms of HBM traffic per step vs ~13 ms saved MXU time);
+* int8×int8 → int32 accumulate (``lax.dot_general`` with
+  ``preferred_element_type=int32`` lowers to the MXU's s8 path), then one
+  fused rescale by (token_scale × channel_scale).
+
+``int8_dense_dot_general`` plugs straight into ``flax.linen.Dense``'s
+``dot_general`` hook, so the backbone swaps every projection/FFN matmul
+by config (``BackboneConfig.dense_impl = "int8"``) without touching the
+module tree or the checkpoint layout. Inference-only: the rounding has no
+useful gradient (Trainer rejects the flag).
+
+The reference has no quantization anywhere (pure fp16 autocast); this is
+TPU-native headroom beyond parity.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def quantize_symmetric(x: jax.Array, axis, bound: int = 127):
+    """Symmetric abs-max int8 quantization along ``axis``.
+
+    Returns ``(q, scale)`` with ``q`` int8 and ``x ≈ q * scale`` (scale
+    keeps the reduced dims, so it broadcasts back). Scales are fp32; an
+    all-zero row quantizes to zeros with scale 1 (no NaN/inf).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.where(amax > 0, amax / bound, 1.0)
+    q = jnp.clip(jnp.round(xf / scale), -bound, bound).astype(jnp.int8)
+    return q, scale
+
+
+def int8_dense_dot_general(lhs, rhs, dimension_numbers, precision=None,
+                           preferred_element_type=None):
+    """``lax.dot_general`` drop-in for the Dense pattern: contract the last
+    lhs dim against rhs dim 0, no batch dims (exactly what
+    ``flax.linen.Dense`` emits). Quantizes both operands on the fly and
+    accumulates in int32 on the MXU's s8 path.
+    """
+    (lc, rc), (lb, rb) = dimension_numbers
+    if (tuple(lb), tuple(rb)) != ((), ()) or tuple(lc) != (lhs.ndim - 1,) \
+            or tuple(rc) != (0,):
+        # not the Dense pattern — fall back to the fp path rather than
+        # silently mis-scaling
+        return lax.dot_general(lhs, rhs, dimension_numbers,
+                               precision=precision,
+                               preferred_element_type=preferred_element_type)
+    a_q, a_scale = quantize_symmetric(lhs, axis=-1)      # per token
+    w_q, w_scale = quantize_symmetric(rhs, axis=0)       # per out-channel
+    out = lax.dot_general(a_q, w_q, dimension_numbers,
+                          preferred_element_type=jnp.int32)
+    out = out.astype(jnp.float32) * a_scale * w_scale    # both broadcast
+    return out.astype(lhs.dtype)

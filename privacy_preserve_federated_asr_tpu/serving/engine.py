@@ -49,7 +49,9 @@ class ServingConfig:
     max_seconds: float = 30.0        # longest accepted utterance
     batch_window_ms: float = 10.0    # micro-batch coalescing window
     normalize: bool = True           # feature-extractor normalization
-    compute_dtype: str = "bfloat16"  # production inference precision
+    # production inference precision: "float32" | "bfloat16" | "int8"
+    # (bf16 + dynamic-W8A8 quantized Dense matmuls, ops/quant.py)
+    compute_dtype: str = "bfloat16"
     # sample-count buckets to precompile at startup; () = every bucket of
     # the grid (ceil(max_seconds) programs)
     warmup_buckets: tuple[int, ...] = ()
@@ -83,10 +85,12 @@ class InferenceEngine:
         self.scfg = scfg
         self.tokenizer = tokenizer or CTCCharTokenizer()
         self.params = params
+        # "int8" = bf16 + dynamic-W8A8 Dense matmuls (ops/quant.py) on the
+        # MXU's double-rate s8 path — the serving-precision ladder
+        cfg, dtype = cfg.resolve_compute(scfg.compute_dtype)
+        self.cfg = cfg
         recipe = get_recipe(cfg.method)
-        self.model = recipe.make_model(
-            cfg, dtype={"float32": jnp.float32,
-                        "bfloat16": jnp.bfloat16}[scfg.compute_dtype])
+        self.model = recipe.make_model(cfg, dtype=dtype)
 
         def forward(p, input_values, input_lengths):
             out = self.model.apply(

@@ -114,6 +114,13 @@ class Trainer:
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
+        if cfg.backbone.dense_impl != "fp" or tcfg.compute_dtype not in _DTYPES:
+            # int8 rounding has no useful gradient; quantized matmuls are
+            # the inference surfaces' knob (serving/extraction)
+            raise ValueError(
+                f"dense_impl={cfg.backbone.dense_impl!r} / compute_dtype="
+                f"{tcfg.compute_dtype!r}: int8 is inference-only; training "
+                "requires 'fp' ('float32'/'bfloat16')")
         self.cfg = cfg
         self.tcfg = tcfg
         self.tokenizer = tokenizer

@@ -184,10 +184,11 @@ def bench_feature_step(batch_size=16, seconds=5.0, label_len=48, stage=0):
             "utt_per_sec": round(batch_size / dt, 1)}
 
 
-def bench_serving(batch_size=8, seconds=5.0, stage=2):
+def bench_serving(batch_size=8, seconds=5.0, stage=2, compute_dtype="bfloat16"):
     """End-to-end serving path on the flagship model: single-request latency
     and saturated batched throughput through InferenceEngine.infer_batch
-    (includes host-side padding, normalization and greedy decode)."""
+    (includes host-side padding, normalization and greedy decode).
+    compute_dtype "int8" measures the dynamic-W8A8 path (ops/quant.py)."""
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.serving import (
         InferenceEngine, ServingConfig)
@@ -199,7 +200,8 @@ def bench_serving(batch_size=8, seconds=5.0, stage=2):
         stage=stage, ad_loss="recall")
     params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
     eng = InferenceEngine(cfg, params, None, ServingConfig(
-        batch_size=batch_size, max_seconds=seconds))
+        batch_size=batch_size, max_seconds=seconds,
+        compute_dtype=compute_dtype))
     rng = np.random.default_rng(0)
     waves = [rng.normal(0, 0.3, size=samples).astype(np.float32)
              for _ in range(batch_size)]
@@ -210,7 +212,7 @@ def bench_serving(batch_size=8, seconds=5.0, stage=2):
     dtb = time_fn(lambda: eng.infer_batch(waves), (),
                   flush=lambda rs: rs[-1].ad_prob)
     print(json.dumps({
-        "config": f"serve B={batch_size} T={seconds}s st={stage} bf16",
+        "config": f"serve B={batch_size} T={seconds}s st={stage} {compute_dtype}",
         "single_latency_ms": round(dt1 * 1e3, 1),
         "batch_ms": round(dtb * 1e3, 1),
         "throughput_utt_per_sec": round(batch_size / dtb, 1)}), flush=True)
@@ -268,7 +270,8 @@ def main():
             flush=True)
     elif mode == "serve":
         bench_serving(
-            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+            compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16")
     elif mode == "posconv":
         bench_posconv()
     elif mode == "one":
