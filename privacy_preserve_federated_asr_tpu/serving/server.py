@@ -8,6 +8,11 @@ serving layer at all). Endpoints:
   - JSON body ``{"audio": [floats], "sample_rate": 16000}``, or
   - a RIFF/WAV body (``Content-Type: audio/wav``), PCM16/PCM32/float32
   -> ``{"transcript": ..., "ad_pred": 0|1, "ad_prob": p, "frames": n}``
+* streaming (serving/streaming.py block-streaming sessions):
+  - ``POST /stream/start`` -> ``{"session": id}``
+  - ``POST /stream/<id>`` with an audio chunk (same formats as /asr)
+    -> partial ``{"transcript", "final_transcript", "ad_prob", ...}``
+  - ``POST /stream/<id>/finish`` -> final result; session is deleted
 
 Requests ride the engine's micro-batching dispatcher, so concurrent
 clients share device batches.
@@ -18,11 +23,13 @@ from __future__ import annotations
 import io
 import json
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 from .engine import InferenceEngine
+from .streaming import StreamingConfig, StreamingSession
 
 
 def _resample_to_16k(data: np.ndarray, sr: int) -> np.ndarray:
@@ -50,11 +57,16 @@ def _decode_wav(body: bytes) -> np.ndarray:
     return _resample_to_16k(data, sr)
 
 
+_MAX_SESSIONS = 64
+
+
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                port: int = 8008) -> ThreadingHTTPServer:
+                port: int = 8008,
+                stream_cfg: StreamingConfig | None = None) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server bound to ``host:port``."""
     counter = {"requests": 0}
     lock = threading.Lock()
+    sessions: dict[str, StreamingSession] = {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -74,21 +86,60 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             else:
                 self._reply(404, {"error": "not found"})
 
-        def do_POST(self):
-            if self.path != "/asr":
-                self._reply(404, {"error": "not found"})
+        def _read_audio(self) -> np.ndarray:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            ctype = (self.headers.get("Content-Type") or "").lower()
+            if body[:4] == b"RIFF" or "audio/wav" in ctype:
+                return _decode_wav(body)
+            obj = json.loads(body)
+            return _resample_to_16k(
+                np.asarray(obj["audio"], np.float32),
+                int(obj.get("sample_rate", 16000)))
+
+        def _do_stream(self) -> None:
+            parts = self.path.strip("/").split("/")  # stream[/<id>[/finish]]
+            if parts == ["stream", "start"]:
+                with lock:
+                    if len(sessions) >= _MAX_SESSIONS:
+                        self._reply(429, {"error": "too many sessions"})
+                        return
+                    sid = uuid.uuid4().hex[:16]
+                    sessions[sid] = StreamingSession(engine, stream_cfg)
+                self._reply(200, {"session": sid})
                 return
+            with lock:
+                sess = sessions.get(parts[1]) if len(parts) >= 2 else None
+            if sess is None:
+                self._reply(404, {"error": "unknown session"})
+                return
+            if len(parts) == 3 and parts[2] == "finish":
+                r = sess.finish()
+                with lock:
+                    sessions.pop(parts[1], None)
+            else:
+                audio = self._read_audio()
+                if audio.size == 0:
+                    self._reply(400, {"error": "empty audio"})
+                    return
+                r = sess.feed(audio)
+            self._reply(200, {
+                "transcript": r.transcript,
+                "final_transcript": r.final_transcript,
+                "ad_prob": r.ad_prob, "ad_pred": r.ad_pred,
+                "final_frames": r.final_frames,
+                "total_frames": r.total_frames, "is_final": r.is_final,
+            })
+
+        def do_POST(self):
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                ctype = (self.headers.get("Content-Type") or "").lower()
-                if body[:4] == b"RIFF" or "audio/wav" in ctype:
-                    audio = _decode_wav(body)
-                else:
-                    obj = json.loads(body)
-                    audio = _resample_to_16k(
-                        np.asarray(obj["audio"], np.float32),
-                        int(obj.get("sample_rate", 16000)))
+                if self.path.startswith("/stream"):
+                    self._do_stream()
+                    return
+                if self.path != "/asr":
+                    self._reply(404, {"error": "not found"})
+                    return
+                audio = self._read_audio()
                 if audio.size == 0:
                     self._reply(400, {"error": "empty audio"})
                     return

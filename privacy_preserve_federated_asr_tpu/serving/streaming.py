@@ -1,0 +1,159 @@
+"""Streaming inference sessions over the batched serving engine.
+
+The reference has no serving at all (SURVEY.md §1 "no serving layer") and
+its models are bidirectional SSL encoders — every frame attends to the
+whole utterance — so true frame-synchronous streaming does not exist for
+this model family. What production systems run instead is **block
+streaming with bounded right context**: re-run the encoder as audio
+arrives, treat frames more than ``right_context_seconds`` behind the
+audio frontier as *final* (their labels have effectively converged — later
+audio rarely flips them through attention), and keep the frames inside the
+lookahead margin *partial* (re-decoded on every chunk).
+
+TPU mapping: every incremental pass is the SAME bucketed, warmed-up
+program the batch engine uses (``InferenceEngine._forward``), so a
+streaming session never triggers a compile; the growing audio simply walks
+up the engine's time-bucket grid. CTC makes the stitching exact: we keep
+per-frame argmax ids (``ops/decode.greedy_ids``) for finalized frames and
+run the tokenizer's collapse over (finalized ids + current partial tail),
+so repeats/blanks across the finalize boundary collapse correctly.
+
+Guarantee tested in tests/test_streaming.py: with ``right_context`` >= the
+utterance length nothing finalizes early, and ``finish()`` is bit-identical
+to the one-shot batch path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from ..data.audio import normalize_input_values
+from ..models.backbone import feat_extract_output_lengths
+from .engine import InferenceEngine, InferenceResult
+
+
+@dataclass
+class StreamingConfig:
+    # frames farther than this behind the audio frontier are finalized;
+    # the streaming latency / stability knob
+    right_context_seconds: float = 1.0
+    # run an incremental pass at most this often (seconds of new audio);
+    # smaller = lower latency, more device passes
+    min_hop_seconds: float = 0.5
+
+
+@dataclass
+class StreamingResult:
+    """State after one ``feed``/``finish`` call."""
+
+    transcript: str          # finalized + partial, CTC-collapsed together
+    final_transcript: str    # finalized frames only (stable prefix)
+    ad_prob: float           # mean P(AD) over the current window's frames
+    ad_pred: int             # frame-majority vote over the current window
+    final_frames: int        # frames finalized so far
+    total_frames: int        # frames seen in the latest pass
+    is_final: bool = False
+
+
+class StreamingSession:
+    """One utterance's incremental decode over a shared ``InferenceEngine``.
+
+    Not thread-safe; create one session per stream (sessions share the
+    engine's compiled programs). Audio beyond the engine's ``max_seconds``
+    is truncated exactly like the batch path.
+    """
+
+    def __init__(self, engine: InferenceEngine, scfg: StreamingConfig | None = None):
+        self.engine = engine
+        self.scfg = scfg or StreamingConfig()
+        self._audio = np.zeros((0,), np.float32)
+        self._final_ids: list[int] = []
+        self._tail_ids: list[int] = []
+        self._last_pass_samples = 0
+        self._last: StreamingResult | None = None
+        self._finished = False
+
+    # ---- internals ----
+
+    def _run_pass(self, finalize_all: bool = False) -> StreamingResult:
+        eng = self.engine
+        audio = self._audio[: eng.max_samples]
+        n = len(audio)
+        cfg = eng.cfg
+        x = normalize_input_values(audio) if eng.scfg.normalize else audio
+        t = eng._bucket(n)
+        iv = np.zeros((eng.scfg.batch_size, t), np.float32)
+        iv[0, :n] = x[:t]
+        il = np.zeros((eng.scfg.batch_size,), np.int32)
+        il[0] = min(n, t)
+        pred, ad_pred, ad_prob, flen = jax.device_get(
+            eng._forward(eng.params, iv, il))
+        total = int(flen[0])
+        ids = [int(i) for i in pred[0, :total]]
+
+        if finalize_all:
+            final_until = total
+        else:
+            rc = int(self.scfg.right_context_seconds * 16000)
+            stable_samples = max(n - rc, 0)
+            final_until = int(feat_extract_output_lengths(
+                cfg.backbone, np.asarray(stable_samples)))
+            final_until = max(min(final_until, total), len(self._final_ids))
+        # finalized frames keep the ids of the pass that finalized them;
+        # the tail is re-decoded every pass
+        self._final_ids.extend(ids[len(self._final_ids):final_until])
+        self._tail_ids = ids[final_until:]
+        self._last_pass_samples = n
+
+        tok = eng.tokenizer
+        res = StreamingResult(
+            transcript=tok.decode(self._final_ids + self._tail_ids),
+            final_transcript=tok.decode(self._final_ids),
+            ad_prob=float(ad_prob[0]),
+            ad_pred=int(ad_pred[0]),
+            final_frames=len(self._final_ids),
+            total_frames=total,
+            is_final=finalize_all,
+        )
+        self._last = res
+        return res
+
+    # ---- public API ----
+
+    def feed(self, chunk: np.ndarray) -> StreamingResult:
+        """Append audio (float32 @16 kHz); returns the updated state. Runs a
+        device pass only once ``min_hop_seconds`` of new audio accumulated
+        (or on the first chunk); otherwise returns the previous state."""
+        if self._finished:
+            raise RuntimeError("session already finished")
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        self._audio = np.concatenate([self._audio, chunk])
+        hop = int(self.scfg.min_hop_seconds * 16000)
+        n = min(len(self._audio), self.engine.max_samples)
+        if self._last is not None and n - self._last_pass_samples < hop:
+            return self._last
+        return self._run_pass()
+
+    def finish(self) -> StreamingResult:
+        """Final pass over all audio: finalizes every frame. Idempotent."""
+        if self._finished:
+            assert self._last is not None
+            return self._last
+        self._finished = True
+        if len(self._audio) == 0:
+            self._last = StreamingResult("", "", 0.0, 0, 0, 0, True)
+            return self._last
+        # frames already finalized keep their ids; the rest come from one
+        # last full-context pass
+        return self._run_pass(finalize_all=True)
+
+    def result(self) -> InferenceResult:
+        """The finished session as the batch path's result type."""
+        r = self.finish()
+        return InferenceResult(
+            transcript=r.transcript, ad_pred=r.ad_pred, ad_prob=r.ad_prob,
+            frames=r.total_frames,
+            samples=min(len(self._audio), self.engine.max_samples))
