@@ -593,6 +593,24 @@ def cmd_pkl2csv(args):
     print(json.dumps({"rows": len(df), "columns": cols, "csv": out}))
 
 
+def cmd_export_hf(args):
+    """Export trained params to an HF torch state_dict (pytorch_model.bin
+    layout) so reference-style torch pipelines can load them
+    (models/export.py; reverse of the from_pretrained port)."""
+    import torch
+
+    from .models.export import export_for_ctc_state_dict
+
+    cfg = _dacs_cfg(args)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    sd = export_for_ctc_state_dict(params, cfg.backbone,
+                                   weight_norm_style=args.weight_norm_style)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, out)
+    print(json.dumps({"keys": len(sd), "out": str(out)}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="privacy_preserve_federated_asr_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -673,6 +691,18 @@ def main(argv=None):
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_text)
+
+    p = sub.add_parser("export-hf",
+                       help="trained params -> HF torch state_dict "
+                            "(pytorch_model.bin) for reference-world use")
+    _add_common(p)
+    p.add_argument("--out", default="./saves/export/pytorch_model.bin")
+    p.add_argument("--weight_norm_style", default="parametrizations",
+                   choices=["parametrizations", "legacy"],
+                   help="pos-conv weight-norm key layout (torch>=2 modules "
+                        "use parametrizations.*; older checkpoints "
+                        "weight_g/weight_v)")
+    p.set_defaults(fn=cmd_export_hf)
 
     p = sub.add_parser("pkl2csv", help="extraction pkl -> text-columns CSV")
     p.add_argument("--pkl", required=True)

@@ -1,6 +1,7 @@
 from .config import BackboneConfig, DACSConfig
 from .backbone import SSLBackbone, feat_extract_output_lengths
 from .dacs import DACSModel, DACSOutputs
+from .export import export_for_ctc_state_dict, export_hf_state_dict
 from .port import port_hf_state_dict
 from .recipes import RECIPES, Recipe, get_recipe, init_recipe_params
 from .whisper import (
@@ -26,6 +27,8 @@ __all__ = [
     "DACSModel",
     "DACSOutputs",
     "port_hf_state_dict",
+    "export_hf_state_dict",
+    "export_for_ctc_state_dict",
     "RECIPES",
     "Recipe",
     "get_recipe",
