@@ -333,12 +333,27 @@ def cmd_serve(args):
     _maybe_fast_rng(args)
     cfg = _dacs_cfg(args)
     params = load_params(cfg, args.model_in_path, args.seed)
+    tok = CTCCharTokenizer()
+    lm_fn = None
+    if args.beam_size > 0 and args.lm_train_csv:
+        # shallow-fusion char LM fitted on the training transcripts
+        import csv as _csv
+
+        from .ops.beam import CharBigramLM
+
+        with open(args.lm_train_csv, newline="") as f:
+            seqs = [tok.encode(row["sentence"].upper())
+                    for row in _csv.DictReader(f) if row.get("sentence")]
+        lm_fn = CharBigramLM(cfg.backbone.vocab_size).fit(seqs)
     engine = InferenceEngine(
-        cfg, params, CTCCharTokenizer(),
+        cfg, params, tok,
         ServingConfig(batch_size=args.eval_batch_size,
                       max_seconds=args.max_seconds,
                       batch_window_ms=args.batch_window_ms,
-                      compute_dtype=args.compute_dtype))
+                      compute_dtype=args.compute_dtype,
+                      beam_size=args.beam_size, lm_alpha=args.lm_alpha,
+                      lm_beta=args.lm_beta),
+        lm_fn=lm_fn)
     serve_forever(engine, host=args.host, port=args.port,
                   warmup=not args.no_warmup)
 
@@ -651,6 +666,14 @@ def main(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=10.0)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip precompiling every time-bucket program")
+    p.add_argument("--beam_size", type=int, default=0,
+                   help="0 = greedy (reference parity); >0 = CTC prefix "
+                        "beam search (ops/beam.py)")
+    p.add_argument("--lm_train_csv", default=None,
+                   help="fit a char-bigram shallow-fusion LM on this "
+                        "train CSV's transcripts (needs --beam_size > 0)")
+    p.add_argument("--lm_alpha", type=float, default=0.3)
+    p.add_argument("--lm_beta", type=float, default=0.0)
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("detail-wer", help="grouped WER report")

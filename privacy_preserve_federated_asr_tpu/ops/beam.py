@@ -1,0 +1,170 @@
+"""CTC prefix beam search with optional shallow LM fusion.
+
+The reference decodes greedily everywhere (argmax + collapse,
+federated/src/update.py:162-212 ``map_to_result``); greedy stays this
+framework's default and parity path (ops/decode.py). This module adds the
+standard production upgrade: prefix beam search (Hannun et al. 2014) over
+the CTC posterior, with an optional character-LM shallow-fusion hook
+(``score = log P_ctc + alpha * log P_lm + beta * |prefix|``).
+
+Runs on the host over the device-computed log-posteriors — decode is not
+the hot path (V=32 vocab, ~10^3 frames), and the ragged beam state is
+host-shaped work; the TPU's job ends at the fused log_softmax. Beams are
+advanced with numpy-vectorized scoring over (beam x vocab).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+import numpy as np
+
+NEG_INF = -np.inf
+
+
+def _logsumexp2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.logaddexp(a, b)
+
+
+@dataclass
+class BeamHypothesis:
+    ids: tuple[int, ...]
+    log_prob: float       # total CTC log-probability (blank + non-blank)
+    lm_log_prob: float    # accumulated LM component (0 when no LM)
+
+    @property
+    def score(self) -> float:
+        return self.log_prob + self.lm_log_prob
+
+
+def ctc_prefix_beam_search(
+    log_probs: np.ndarray,
+    beam_size: int = 16,
+    blank_id: int = 0,
+    lm_fn: Callable[[tuple[int, ...]], np.ndarray] | None = None,
+    lm_alpha: float = 0.3,
+    lm_beta: float = 0.0,
+    prune_log_prob: float = -12.0,
+) -> list[BeamHypothesis]:
+    """Decode one utterance's CTC posterior.
+
+    Args:
+      log_probs: [T, V] log-softmax scores over valid frames only.
+      beam_size: number of prefixes kept per frame.
+      blank_id: CTC blank (== pad, reference blank=pad_token_id).
+      lm_fn: optional ``prefix_ids -> [V] log P(next | prefix)``; fused as
+        ``alpha * lm + beta`` per emitted (non-blank, non-repeat) token.
+      prune_log_prob: per-frame emission pruning threshold relative to the
+        frame's best token (standard beam pruning; keeps V small).
+
+    Returns the final beam sorted by fused score (best first); hypothesis
+    ids are the collapsed label sequence (no blanks, no repeats).
+    """
+    T, V = log_probs.shape
+    # p_b / p_nb: log-prob of the prefix with the last frame being
+    # blank / non-blank
+    beams: dict[tuple[int, ...], tuple[float, float, float]] = {
+        (): (0.0, NEG_INF, 0.0)}  # (p_b, p_nb, lm)
+
+    for t in range(T):
+        frame = log_probs[t]
+        keep = np.flatnonzero(frame >= frame.max() + prune_log_prob)
+        next_beams: dict[tuple[int, ...], list[float]] = {}
+
+        def add(prefix, p_b, p_nb, lm):
+            cur = next_beams.get(prefix)
+            if cur is None:
+                next_beams[prefix] = [p_b, p_nb, lm]
+            else:
+                cur[0] = _logsumexp2(cur[0], p_b)
+                cur[1] = _logsumexp2(cur[1], p_nb)
+                # lm component is a function of the prefix alone — identical
+                # for merged paths
+                cur[2] = lm
+
+        for prefix, (p_b, p_nb, lm) in beams.items():
+            p_tot = _logsumexp2(p_b, p_nb)
+            lm_next = None
+            for v in keep:
+                pv = float(frame[v])
+                if v == blank_id:
+                    add(prefix, p_tot + pv, NEG_INF, lm)
+                    continue
+                last = prefix[-1] if prefix else None
+                if v == last:
+                    # repeat: extends the prefix only via a blank gap
+                    add(prefix, NEG_INF, p_nb + pv, lm)
+                    new_lm = lm
+                    if lm_fn is not None:
+                        if lm_next is None:
+                            lm_next = lm_fn(prefix)
+                        new_lm = lm + lm_alpha * float(lm_next[v]) + lm_beta
+                    add(prefix + (int(v),), NEG_INF, p_b + pv, new_lm)
+                else:
+                    new_lm = lm
+                    if lm_fn is not None:
+                        if lm_next is None:
+                            lm_next = lm_fn(prefix)
+                        new_lm = lm + lm_alpha * float(lm_next[v]) + lm_beta
+                    add(prefix + (int(v),), NEG_INF, p_tot + pv, new_lm)
+
+        scored = sorted(
+            ((k, v) for k, v in next_beams.items()
+             if _logsumexp2(v[0], v[1]) > NEG_INF),  # drop dead prefixes
+            key=lambda kv: -(_logsumexp2(kv[1][0], kv[1][1]) + kv[1][2]))
+        beams = {k: (v[0], v[1], v[2]) for k, v in scored[:beam_size]}
+
+    out = [
+        BeamHypothesis(ids=prefix,
+                       log_prob=float(_logsumexp2(p_b, p_nb)),
+                       lm_log_prob=float(lm))
+        for prefix, (p_b, p_nb, lm) in beams.items()
+    ]
+    out.sort(key=lambda h: -h.score)
+    return out
+
+
+def beam_search_batch(
+    log_probs: np.ndarray,
+    frame_lengths: Sequence[int],
+    beam_size: int = 16,
+    blank_id: int = 0,
+    lm_fn=None,
+    lm_alpha: float = 0.3,
+    lm_beta: float = 0.0,
+) -> list[list[BeamHypothesis]]:
+    """[B, T, V] log-posteriors (+ valid lengths) -> per-utterance beams."""
+    return [
+        ctc_prefix_beam_search(
+            np.asarray(log_probs[b, : int(frame_lengths[b])], np.float32),
+            beam_size=beam_size, blank_id=blank_id, lm_fn=lm_fn,
+            lm_alpha=lm_alpha, lm_beta=lm_beta)
+        for b in range(len(frame_lengths))
+    ]
+
+
+class CharBigramLM:
+    """Tiny additive-smoothed character bigram LM for shallow fusion —
+    trainable from transcripts (e.g. the ADReSS train CSV), no external
+    deps. ``log P(next | prefix)`` depends on the prefix's last token."""
+
+    def __init__(self, vocab_size: int, smoothing: float = 1.0):
+        self.vocab_size = vocab_size
+        self.smoothing = float(smoothing)
+        self.counts = np.zeros((vocab_size + 1, vocab_size), np.float64)
+        # row vocab_size = sentence-start context
+
+    def fit(self, sequences: Sequence[Sequence[int]]) -> "CharBigramLM":
+        for seq in sequences:
+            prev = self.vocab_size
+            for v in seq:
+                self.counts[prev, int(v)] += 1.0
+                prev = int(v)
+        c = self.counts + self.smoothing
+        self._log_probs = np.log(c / c.sum(axis=1, keepdims=True))
+        return self
+
+    def __call__(self, prefix: tuple[int, ...]) -> np.ndarray:
+        prev = prefix[-1] if prefix else self.vocab_size
+        return self._log_probs[prev]

@@ -52,6 +52,12 @@ class ServingConfig:
     # production inference precision: "float32" | "bfloat16" | "int8"
     # (bf16 + dynamic-W8A8 quantized Dense matmuls, ops/quant.py)
     compute_dtype: str = "bfloat16"
+    # 0 = greedy (reference parity); >0 = CTC prefix beam search on the
+    # host over the device log-posteriors (ops/beam.py), optionally with
+    # shallow LM fusion via ``lm_fn`` passed to InferenceEngine
+    beam_size: int = 0
+    lm_alpha: float = 0.3
+    lm_beta: float = 0.0
     # sample-count buckets to precompile at startup; () = every bucket of
     # the grid (ceil(max_seconds) programs)
     warmup_buckets: tuple[int, ...] = ()
@@ -79,6 +85,7 @@ class InferenceEngine:
         params,
         tokenizer: CTCCharTokenizer | None = None,
         scfg: ServingConfig | None = None,
+        lm_fn=None,
     ):
         scfg = scfg if scfg is not None else ServingConfig()
         self.cfg = cfg
@@ -91,6 +98,9 @@ class InferenceEngine:
         self.cfg = cfg
         recipe = get_recipe(cfg.method)
         self.model = recipe.make_model(cfg, dtype=dtype)
+
+        self._lm_fn = lm_fn
+        beam = scfg.beam_size > 0
 
         def forward(p, input_values, input_lengths):
             out = self.model.apply(
@@ -105,6 +115,9 @@ class InferenceEngine:
             probs = jax.nn.softmax(dlog.astype(jnp.float32), axis=-1)[..., 1]
             fm = out.frame_mask.astype(jnp.float32)
             ad_prob = (probs * fm).sum(-1) / jnp.maximum(fm.sum(-1), 1.0)
+            if beam:  # host-side beam decode needs the log-posteriors
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                return pred, ad_pred, ad_prob, out.frame_lengths, lp
             return pred, ad_pred, ad_prob, out.frame_lengths
 
         self._forward = jax.jit(forward)
@@ -172,11 +185,27 @@ class InferenceEngine:
             n = min(len(a), t)
             iv[i, :n] = a[:n]
             il[i] = n
-        pred, ad_pred, ad_prob, flen = jax.device_get(
+        got = jax.device_get(
             self._forward(self.params, jnp.asarray(iv), jnp.asarray(il)))
+        pred, ad_pred, ad_prob, flen = got[:4]
+        if self.scfg.beam_size > 0:
+            from ..ops.beam import beam_search_batch
+
+            beams = beam_search_batch(
+                got[4][: len(xs)], flen[: len(xs)],
+                beam_size=self.scfg.beam_size,
+                blank_id=self.cfg.backbone.pad_token_id,
+                lm_fn=self._lm_fn, lm_alpha=self.scfg.lm_alpha,
+                lm_beta=self.scfg.lm_beta)
+            # beam ids are already CTC-collapsed: decode without grouping
+            # (legitimate repeated characters must survive)
+            texts = [self.tokenizer.decode(b[0].ids, group_tokens=False)
+                     for b in beams]
+        else:
+            texts = [self.tokenizer.decode(pred[i]) for i in range(len(xs))]
         return [
             InferenceResult(
-                transcript=self.tokenizer.decode(pred[i]),
+                transcript=texts[i],
                 ad_pred=int(ad_pred[i]),
                 ad_prob=float(ad_prob[i]),
                 frames=int(flen[i]),

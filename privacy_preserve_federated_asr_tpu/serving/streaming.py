@@ -90,7 +90,7 @@ class StreamingSession:
         il = np.zeros((eng.scfg.batch_size,), np.int32)
         il[0] = min(n, t)
         pred, ad_pred, ad_prob, flen = jax.device_get(
-            eng._forward(eng.params, iv, il))
+            eng._forward(eng.params, iv, il))[:4]
         total = int(flen[0])
         ids = [int(i) for i in pred[0, :total]]
 
