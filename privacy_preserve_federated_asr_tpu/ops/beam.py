@@ -133,8 +133,29 @@ def beam_search_batch(
     lm_fn=None,
     lm_alpha: float = 0.3,
     lm_beta: float = 0.0,
+    backend: str = "auto",
 ) -> list[list[BeamHypothesis]]:
-    """[B, T, V] log-posteriors (+ valid lengths) -> per-utterance beams."""
+    """[B, T, V] log-posteriors (+ valid lengths) -> per-utterance beams.
+
+    ``backend="auto"`` uses the native C++ decoder (native/beam.cpp) when
+    it is available and the LM is absent or a :class:`CharBigramLM` (whose
+    table ships across the ctypes boundary); arbitrary ``lm_fn`` callables
+    and toolchain-less hosts fall back to the Python implementation.
+    """
+    use_native = (
+        backend == "native"
+        or (backend == "auto"
+            and (lm_fn is None or isinstance(lm_fn, CharBigramLM))
+            and native_available())
+    )
+    if use_native:
+        return [
+            [ctc_prefix_beam_search_native(
+                np.asarray(log_probs[b, : int(frame_lengths[b])], np.float32),
+                beam_size=beam_size, blank_id=blank_id, lm=lm_fn,
+                lm_alpha=lm_alpha, lm_beta=lm_beta)]
+            for b in range(len(frame_lengths))
+        ]
     return [
         ctc_prefix_beam_search(
             np.asarray(log_probs[b, : int(frame_lengths[b])], np.float32),
@@ -142,6 +163,92 @@ def beam_search_batch(
             lm_alpha=lm_alpha, lm_beta=lm_beta)
         for b in range(len(frame_lengths))
     ]
+
+
+# ---- native backend (native/beam.cpp via ctypes) ----
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load_native():
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    so = native_dir / "libdacsbeam.so"
+    if not so.exists() and (native_dir / "beam.cpp").exists():
+        try:  # one best-effort build; silent on toolchain-less machines
+            subprocess.run(["make", "-C", str(native_dir), "libdacsbeam.so"],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not so.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    lib.dacs_ctc_beam_search.restype = ctypes.c_long
+    lib.dacs_ctc_beam_search.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_float)]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    """True when the C++ decoder is loadable (building it on demand)."""
+    return _load_native() is not None
+
+
+def ctc_prefix_beam_search_native(
+    log_probs: np.ndarray,
+    beam_size: int = 16,
+    blank_id: int = 0,
+    lm: "CharBigramLM | None" = None,
+    lm_alpha: float = 0.3,
+    lm_beta: float = 0.0,
+    prune_log_prob: float = -12.0,
+) -> BeamHypothesis:
+    """C++ decoder (native/beam.cpp); semantics-identical to
+    :func:`ctc_prefix_beam_search`'s top hypothesis (tested). The LM, when
+    given, must be a :class:`CharBigramLM` (its table crosses the ctypes
+    boundary); the returned hypothesis carries the fused score in
+    ``log_prob`` (the blank/non-blank and LM split stays host-side only in
+    the Python backend)."""
+    import ctypes
+
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native beam library unavailable")
+    lp = np.ascontiguousarray(log_probs, np.float32)
+    T, V = lp.shape
+    lm_ptr = None
+    if lm is not None:
+        table = np.ascontiguousarray(lm._log_probs, np.float32)
+        assert table.shape == (V + 1, V), "LM table must be (V+1, V)"
+        lm_ptr = table.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    out = np.zeros(T, np.int32)
+    score = ctypes.c_float()
+    n = lib.dacs_ctc_beam_search(
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, V,
+        beam_size, blank_id, lm_ptr, lm_alpha, lm_beta,
+        float(prune_log_prob),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), T,
+        ctypes.byref(score))
+    if n < 0:
+        raise RuntimeError(f"native beam search failed (rc={n})")
+    return BeamHypothesis(ids=tuple(int(i) for i in out[:n]),
+                          log_prob=float(score.value), lm_log_prob=0.0)
 
 
 class CharBigramLM:

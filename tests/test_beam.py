@@ -113,6 +113,50 @@ def test_beam_batch_respects_frame_lengths():
     assert full[1][0].ids == short[0].ids
 
 
+def test_native_matches_python():
+    """The C++ decoder (native/beam.cpp) must return the Python backend's
+    top hypothesis — ids exactly, fused score to fp32 tolerance — across
+    random posteriors, with and without the bigram LM."""
+    from privacy_preserve_federated_asr_tpu.ops.beam import (
+        ctc_prefix_beam_search_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    lm = CharBigramLM(vocab_size=6, smoothing=0.5).fit(
+        [[1, 2, 3], [1, 2, 4], [5, 2]])
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        T = int(rng.integers(3, 40))
+        lp = rng.normal(0, 2.0, (T, 6))
+        lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+        lp = lp.astype(np.float32)
+        for use_lm in (None, lm):
+            py = ctc_prefix_beam_search(lp, beam_size=12, lm_fn=use_lm,
+                                        lm_alpha=0.5, lm_beta=0.1)[0]
+            nat = ctc_prefix_beam_search_native(lp, beam_size=12, lm=use_lm,
+                                                lm_alpha=0.5, lm_beta=0.1)
+            assert nat.ids == py.ids, (seed, use_lm is not None)
+            np.testing.assert_allclose(nat.log_prob, py.score, rtol=1e-4,
+                                       atol=1e-4)
+
+
+def test_batch_auto_backend_uses_native_and_matches():
+    from privacy_preserve_federated_asr_tpu.ops.beam import native_available
+
+    if not native_available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    lp = rng.normal(0, 1.5, (3, 20, 5)).astype(np.float32)
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    lengths = [20, 13, 7]
+    auto = beam_search_batch(lp, lengths, beam_size=10, backend="auto")
+    pure = beam_search_batch(lp, lengths, beam_size=10, backend="python")
+    for a, p in zip(auto, pure):
+        assert a[0].ids == p[0].ids
+
+
 def test_serving_engine_beam_mode():
     """beam_size>0: the engine decodes via prefix beam search; transcripts
     contain tokenizer characters and the result schema is unchanged."""
