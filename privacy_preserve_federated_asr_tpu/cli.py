@@ -289,7 +289,9 @@ def cmd_federated(args):
         seed=args.seed, learning_rate=args.learning_rate,
         compute_dtype=args.compute_dtype, remat=args.remat,
         log_file=args.log_path, supervised_level=args.supervised_level,
-        cache_encoder=False if args.no_cache_encoder else None)
+        cache_encoder=False if args.no_cache_encoder else None,
+        dp_clip_norm=args.dp_clip_norm,
+        dp_noise_multiplier=args.dp_noise_multiplier)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -648,6 +650,11 @@ def main(argv=None):
     p.add_argument("--unsup_train_csv", default=None,
                    help="unlabeled/teacher-transcribed client data "
                         "(reference: ADReSSo) for supervised_level < 1")
+    p.add_argument("--dp_clip_norm", type=float, default=None,
+                   help="DP-FedAvg: clip client update deltas to this L2 "
+                        "norm (off when unset; beyond the reference)")
+    p.add_argument("--dp_noise_multiplier", type=float, default=0.0,
+                   help="DP-FedAvg: Gaussian noise std = clip * this / K")
     p.set_defaults(fn=cmd_federated)
 
     p = sub.add_parser("extract", help="dump embeddings/masks/transcripts")

@@ -128,6 +128,12 @@ class FederatedConfig:
     # device memory (cache is skipped per source when it would exceed it).
     cache_encoder: bool | None = None
     cache_budget_bytes: int = 6 << 30
+    # DP-FedAvg (parallel/fed.py dp_fedavg_stacked; beyond the reference):
+    # clip each client's update delta to this L2 norm and add Gaussian
+    # noise std = clip * noise_multiplier / K to the aggregate. None = off.
+    # Unweighted aggregation only (uniform-contribution DP accounting).
+    dp_clip_norm: float | None = None
+    dp_noise_multiplier: float = 0.0
 
 
 class FederatedEngine:
@@ -557,8 +563,21 @@ class FederatedEngine:
                 lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), global_params)
             new_params, losses = jax.vmap(local_train)(
                 stacked, tuple(per_client), rngs)
-            weights = sample_counts if f.fedavg_weighted else None
-            avg = fedavg_stacked(new_params, weights)
+            if f.dp_clip_norm is not None:
+                if f.fedavg_weighted:
+                    raise ValueError("DP-FedAvg is unweighted (uniform-"
+                                     "contribution accounting); disable "
+                                     "fedavg_weighted")
+                from ..parallel.fed import dp_fedavg_stacked
+
+                # per-round noise key, deterministic in the round's rngs
+                dp_rng = jax.random.fold_in(rngs[0], 0x5A11)
+                avg = dp_fedavg_stacked(new_params, global_params,
+                                        f.dp_clip_norm,
+                                        f.dp_noise_multiplier, dp_rng)
+            else:
+                weights = sample_counts if f.fedavg_weighted else None
+                avg = fedavg_stacked(new_params, weights)
             new_global = graft_network(global_params, avg, network)
             return new_global, jnp.mean(losses, axis=1)
 

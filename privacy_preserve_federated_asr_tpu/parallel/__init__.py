@@ -3,6 +3,7 @@ from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
 from .fed import (
     NETWORKS,
     average_weights,
+    dp_fedavg_stacked,
     fedavg_stacked,
     graft_network,
     network_mask,
@@ -18,6 +19,7 @@ __all__ = [
     "validate_tp_divisibility",
     "NETWORKS",
     "average_weights",
+    "dp_fedavg_stacked",
     "fedavg_stacked",
     "graft_network",
     "network_mask",

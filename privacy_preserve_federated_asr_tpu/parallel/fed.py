@@ -84,3 +84,49 @@ def fedavg_stacked(
         return jnp.sum(x * wb, axis=0)
 
     return jax.tree.map(wmean, stacked_params)
+
+
+def dp_fedavg_stacked(
+    stacked_params: Any,
+    global_params: Any,
+    clip_norm: float,
+    noise_multiplier: float,
+    rng: jax.Array,
+) -> Any:
+    """Differentially-private FedAvg (McMahan et al. 2018) over the stacked
+    client axis: per-client update deltas are clipped to ``clip_norm`` in
+    global L2 norm, averaged (unweighted — DP accounting assumes uniform
+    contributions), and Gaussian noise with per-coordinate std
+    ``clip_norm * noise_multiplier / K`` is added before applying to the
+    global params.
+
+    This is BEYOND the reference (whose privacy mechanism is the
+    representation-level toggling network); it composes with it — the
+    arbitrator hides AD content in embeddings, DP-FedAvg bounds what the
+    aggregated weights leak about any single client. Everything runs inside
+    the jitted round program; on a ``client`` mesh the clip norms and the
+    mean each lower to one collective.
+    """
+    deltas = jax.tree.map(
+        lambda s, g: (s.astype(jnp.float32) - g[None].astype(jnp.float32)),
+        stacked_params, global_params)
+    leaves = jax.tree.leaves(deltas)
+    k = leaves[0].shape[0]
+    sq = sum(jnp.sum(d * d, axis=tuple(range(1, d.ndim))) for d in leaves)
+    norms = jnp.sqrt(jnp.maximum(sq, 1e-24))                       # [K]
+    scale = jnp.minimum(1.0, clip_norm / norms)                    # [K]
+
+    def clipped_mean(d):
+        sb = scale.reshape((-1,) + (1,) * (d.ndim - 1))
+        return jnp.mean(d * sb, axis=0)
+
+    mean = jax.tree.map(clipped_mean, deltas)
+    std = clip_norm * noise_multiplier / k
+    flat, treedef = jax.tree_util.tree_flatten(mean)
+    keys = jax.random.split(rng, len(flat))
+    noisy = [m + std * jax.random.normal(kk, m.shape, jnp.float32)
+             for m, kk in zip(flat, keys)]
+    agg = jax.tree_util.tree_unflatten(treedef, noisy)
+    return jax.tree.map(
+        lambda g, a: (g.astype(jnp.float32) + a).astype(g.dtype),
+        global_params, agg)
