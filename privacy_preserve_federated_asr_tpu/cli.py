@@ -319,9 +319,22 @@ def cmd_extract(args):
     out_dir = Path(args.csv_out_dir)
     for split, csv_path in (("", args.test_csv), ("_train", args.train_csv)):
         exs, tok = _load_examples(args, csv_path)
+        lm_fn = None
+        if args.beam_size > 0 and args.lm_train_csv:
+            import csv as _csv
+
+            from .ops.beam import CharBigramLM
+
+            with open(args.lm_train_csv, newline="") as f:
+                seqs = [tok.encode(row["sentence"].upper())
+                        for row in _csv.DictReader(f) if row.get("sentence")]
+            lm_fn = CharBigramLM(cfg.backbone.vocab_size).fit(seqs)
         rows = extract_embeddings(cfg, params, exs, tok,
                                   batch_size=args.eval_batch_size,
-                                  compute_dtype=args.compute_dtype)
+                                  compute_dtype=args.compute_dtype,
+                                  beam_size=args.beam_size, lm_fn=lm_fn,
+                                  lm_alpha=args.lm_alpha,
+                                  lm_beta=args.lm_beta)
         rows_to_pickle(rows, str(out_dir / f"{args.csv_name}{split}.pkl"))
         if split == "":  # the reference writes Result.csv for the test set
             write_results_csv(rows, str(out_dir))
@@ -661,6 +674,14 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("-csv", "--csv_name", default="extract")
     p.add_argument("--csv_out_dir", default="./saves/results")
+    p.add_argument("--beam_size", type=int, default=0,
+                   help="0 = greedy (reference parity); >0 = CTC prefix "
+                        "beam search for pred_str (ops/beam.py)")
+    p.add_argument("--lm_train_csv", default=None,
+                   help="fit a char-bigram shallow-fusion LM on this train "
+                        "CSV's transcripts (needs --beam_size > 0)")
+    p.add_argument("--lm_alpha", type=float, default=0.3)
+    p.add_argument("--lm_beta", type=float, default=0.0)
     # reference extraction runs fp32 (no .half() in the eval scripts);
     # opt into bf16 explicitly for speed
     p.set_defaults(fn=cmd_extract, compute_dtype="float32")

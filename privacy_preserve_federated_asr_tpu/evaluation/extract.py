@@ -26,6 +26,7 @@ from pathlib import Path
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.collate import LengthBucketBatcher
@@ -64,17 +65,24 @@ def extract_embeddings(
     time_multiple: int = 16000,
     seed: int = 0,
     compute_dtype: str = "float32",
+    beam_size: int = 0,
+    lm_fn=None,
+    lm_alpha: float = 0.3,
+    lm_beta: float = 0.0,
 ) -> list[ExtractionRow]:
     """``compute_dtype="bfloat16"`` runs the forward in bf16 (the serving
     precision; dumped rows are float32 either way) and ``"int8"`` adds
     dynamic-W8A8 Dense matmuls (ops/quant.py) on top of bf16 — the
     reference's batched extraction runs fp32 under DataParallel, so that
-    stays the default."""
+    stays the default. ``beam_size > 0`` decodes ``pred_str`` with CTC
+    prefix beam search (ops/beam.py; optional shallow LM fusion) instead of
+    the reference's greedy argmax — an opt-in WER upgrade."""
     from ..models.recipes import get_recipe
 
     cfg, dtype = cfg.resolve_compute(compute_dtype)
     recipe = get_recipe(cfg.method)
     model = recipe.make_model(cfg, dtype=dtype)
+    beam = beam_size > 0
 
     @jax.jit
     def forward(p, batch: DeviceBatch):
@@ -85,15 +93,28 @@ def extract_embeddings(
         ctc_logits, ad_logits, lm_mask, ad_mask = recipe.extract_streams(out, cfg)
         pred = greedy_ids(ctc_logits, out.frame_mask, cfg.backbone.pad_token_id)
         ad_pred = ad_vote(ad_logits, out.frame_mask)
+        lp = (jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+              if beam else pred)  # placeholder keeps the output arity fixed
         return (out.hidden_states, lm_mask, ad_mask,
-                ad_logits, pred, ad_pred, out.frame_lengths)
+                ad_logits, pred, ad_pred, out.frame_lengths, lp)
 
     batcher = LengthBucketBatcher(examples, batch_size, time_multiple=time_multiple)
     by_path = {e.path: e for e in examples}
     rows: list[ExtractionRow] = []
     for b in batcher.epoch(epoch_seed=0):
-        h, lm, ad, dlog, pred, ad_pred, flen = jax.device_get(
+        h, lm, ad, dlog, pred, ad_pred, flen, lp = jax.device_get(
             forward(params, DeviceBatch.from_host(b)))
+        if beam:
+            from ..ops.beam import beam_search_batch
+
+            beams = beam_search_batch(
+                lp[: len(b.paths)], flen[: len(b.paths)],
+                beam_size=beam_size, blank_id=cfg.backbone.pad_token_id,
+                lm_fn=lm_fn, lm_alpha=lm_alpha, lm_beta=lm_beta)
+            texts = [tokenizer.decode(bm[0].ids, group_tokens=False)
+                     for bm in beams]
+        else:
+            texts = [tokenizer.decode(pred[i]) for i in range(len(b.paths))]
         for i, path in enumerate(b.paths):
             n = int(flen[i])
             ex = by_path[path]
@@ -106,7 +127,7 @@ def extract_embeddings(
                          else np.asarray(lm[i, :n], dtype=np.float32)),
                 dementia_mask=(None if ad is None
                                else np.asarray(ad[i, :n], dtype=np.float32)),
-                pred_str=tokenizer.decode(pred[i]),
+                pred_str=texts[i],
                 pred_AD=int(ad_pred[i]),
                 dementia_logits=np.asarray(dlog[i, :n], dtype=np.float32),
             ))

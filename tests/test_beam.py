@@ -113,6 +113,33 @@ def test_beam_batch_respects_frame_lengths():
     assert full[1][0].ids == short[0].ids
 
 
+def test_extraction_beam_mode_row_schema():
+    """extract_embeddings(beam_size>0) keeps the row schema; pred_str comes
+    from the beam decode."""
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+    from privacy_preserve_federated_asr_tpu.evaluation import extract_embeddings
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0),
+        stage=2, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    tok = CTCCharTokenizer()
+    rng = np.random.default_rng(0)
+    exs = [AsrExample(
+        path=f"S00{i}_PAR_0_0.wav",
+        array=rng.normal(0, 1, 3200).astype(np.float32), text="HI OK",
+        dementia_label=i % 2,
+        input_values=rng.normal(0, 1, 3200).astype(np.float32),
+        labels=np.asarray(tok.encode("HI OK"), np.int32)) for i in range(3)]
+    rows = extract_embeddings(cfg, params, exs, tok, batch_size=2,
+                              time_multiple=3200, beam_size=6)
+    assert len(rows) == 3
+    assert all(isinstance(r.pred_str, str) for r in rows)
+    assert all(r.hidden_states.ndim == 2 for r in rows)
+
+
 def test_native_matches_python():
     """The C++ decoder (native/beam.cpp) must return the Python backend's
     top hypothesis — ids exactly, fused score to fp32 tolerance — across
