@@ -291,7 +291,8 @@ def cmd_federated(args):
         log_file=args.log_path, supervised_level=args.supervised_level,
         cache_encoder=False if args.no_cache_encoder else None,
         dp_clip_norm=args.dp_clip_norm,
-        dp_noise_multiplier=args.dp_noise_multiplier)
+        dp_noise_multiplier=args.dp_noise_multiplier,
+        round_save_dir=args.round_save_dir)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -668,6 +669,11 @@ def main(argv=None):
                         "norm (off when unset; beyond the reference)")
     p.add_argument("--dp_noise_multiplier", type=float, default=0.0,
                    help="DP-FedAvg: Gaussian noise std = clip * this / K")
+    p.add_argument("--round_save_dir", default=None,
+                   help="save the global params after every round and "
+                        "resume from the newest checkpoint on restart "
+                        "(engine-native form of the reference's "
+                        "filesystem-round resume, training.py:14-22)")
     p.set_defaults(fn=cmd_federated)
 
     p = sub.add_parser("extract", help="dump embeddings/masks/transcripts")

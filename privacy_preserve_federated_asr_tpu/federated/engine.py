@@ -134,6 +134,16 @@ class FederatedConfig:
     # Unweighted aggregation only (uniform-contribution DP accounting).
     dp_clip_norm: float | None = None
     dp_noise_multiplier: float = 0.0
+    # Round-level checkpointing: save the global params after every
+    # ``round_save_every``-th round under ``<round_save_dir>/round-N`` and
+    # resume from the newest matching-stage checkpoint on the next
+    # run_rounds call — the engine-native form of the reference's implicit
+    # filesystem-round-robin resume (training.py:14-22's
+    # "<out>_client{id}_round{r}" layout). Client sampling is a pure
+    # function of the seed, so resumed rounds see the same client plan.
+    round_save_dir: str | None = None
+    round_save_every: int = 1
+    round_save_limit: int = 2       # like the reference's save_total_limit
 
 
 class FederatedEngine:
@@ -647,6 +657,50 @@ class FederatedEngine:
         data = self._client_round_batches(cids, rnd, source=source)
         return data, ("sup", data.input_values.shape[1])
 
+    def _round_ckpts(self):
+        """Sorted (round, path) list of round checkpoints on disk."""
+        from pathlib import Path
+
+        d = Path(self.fcfg.round_save_dir)
+        out = []
+        for p in d.glob("round-*"):
+            tail = p.name.split("-", 1)[1]
+            if tail.isdigit():
+                out.append((int(tail), p))
+        return sorted(out)
+
+    def _maybe_save_round(self, stage: int, rnd: int) -> None:
+        f = self.fcfg
+        if f.round_save_dir is None or rnd % max(f.round_save_every, 1):
+            return
+        import shutil
+
+        from ..train.checkpoint import save_params
+
+        save_params(f"{f.round_save_dir}/round-{rnd}", self.global_params,
+                    {"stage": stage, "round": rnd})
+        ckpts = self._round_ckpts()
+        for _, p in ckpts[: max(0, len(ckpts) - f.round_save_limit)]:
+            shutil.rmtree(p)
+
+    def _maybe_resume_rounds(self, stage: int) -> int:
+        """Load the newest matching-stage round checkpoint (if configured);
+        returns the number of rounds already completed."""
+        import json as _json
+
+        f = self.fcfg
+        if f.round_save_dir is None:
+            return 0
+        from ..train.checkpoint import load_params
+
+        for rnd, p in reversed(self._round_ckpts()):
+            meta = p / "metadata.json"
+            if meta.exists() and _json.loads(meta.read_text()).get("stage") == stage:
+                self.global_params = load_params(str(p))
+                self.logger.log({"fl_resume_round": rnd, "stage": stage})
+                return rnd
+        return 0
+
     def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:
         """FedAvg rounds (reference FL_training_rounds,
         federated_main.py:69-145). Host-side round building overlaps the
@@ -676,6 +730,10 @@ class FederatedEngine:
             for src in sources:
                 if self._resident_enabled(src):
                     self._hidden_cache_for(stage, src)
+        start_round = self._maybe_resume_rounds(stage)
+        if start_round >= num_rounds:
+            return self.global_params
+        plan = plan[start_round:]
         built = ((rnd, cids, self._build_round(stage, rnd, cids))
                  for rnd, cids in plan)
         # overlap round building with execution only when (a) no phase needs
@@ -701,6 +759,7 @@ class FederatedEngine:
                 ev = self.evaluate(stage)
                 ev.update({"fl_round": rnd + 1, "stage": stage})
                 self.logger.log(ev)
+            self._maybe_save_round(stage, rnd + 1)
         if stage == 0:  # the rounds trained the backbone: hidden caches stale
             self._invalidate_hidden_caches()
         return self.global_params

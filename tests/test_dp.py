@@ -137,3 +137,44 @@ def test_engine_dp_rejects_weighted():
     eng.fcfg = dataclasses.replace(eng.fcfg, fedavg_weighted=True)
     with pytest.raises(ValueError, match="unweighted"):
         eng.run_rounds(stage=2, num_rounds=1)
+
+
+def test_round_checkpoint_save_resume(tmp_path):
+    """Round checkpoints: a restarted engine resumes from the newest
+    matching-stage checkpoint and reproduces the straight-through run."""
+    import dataclasses as dc
+    import shutil
+
+    d = str(tmp_path / "rounds")
+
+    def engine_with_dir():
+        eng = _engine(seed=0)
+        eng.fcfg = dc.replace(eng.fcfg, round_save_dir=d, num_rounds=2)
+        return eng
+
+    eng1 = engine_with_dir()
+    eng1.run_rounds(stage=2, num_rounds=2)
+    assert sorted(p.name for p in (tmp_path / "rounds").glob("round-*")) == \
+        ["round-1", "round-2"]
+
+    # fresh engine, same dir: fully resumed, params identical, no new rounds
+    eng2 = engine_with_dir()
+    eng2.run_rounds(stage=2, num_rounds=2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        eng1.global_params, eng2.global_params)
+
+    # drop the newest checkpoint: resume at round 1, re-run round 2 only,
+    # same final params (round math is deterministic in seed + plan)
+    shutil.rmtree(tmp_path / "rounds" / "round-2")
+    eng3 = engine_with_dir()
+    eng3.run_rounds(stage=2, num_rounds=2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-6, atol=1e-7),
+        eng1.global_params, eng3.global_params)
+
+    # wrong-stage checkpoints are ignored
+    eng4 = engine_with_dir()
+    assert eng4._maybe_resume_rounds(stage=0) == 0
