@@ -624,6 +624,46 @@ def cmd_pkl2csv(args):
     print(json.dumps({"rows": len(df), "columns": cols, "csv": out}))
 
 
+def cmd_transcribe(args):
+    """Batch-transcribe WAV files (a file or a directory) without the CSV
+    pipeline: audio -> InferenceEngine -> transcript + AD prediction per
+    file. Supports the serving knobs (--compute_dtype int8, --beam_size)."""
+    from .data.audio import load_audio
+    from .data.tokenizer import CTCCharTokenizer
+    from .serving import InferenceEngine, ServingConfig
+
+    _maybe_fast_rng(args)
+    cfg = _dacs_cfg(args)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    tok = CTCCharTokenizer()
+    src = Path(args.audio)
+    paths = sorted(src.glob("**/*.wav")) if src.is_dir() else [src]
+    if not paths:
+        raise SystemExit(f"no .wav files under {src}")
+    engine = InferenceEngine(
+        cfg, params, tok,
+        ServingConfig(batch_size=args.eval_batch_size,
+                      max_seconds=args.max_seconds,
+                      compute_dtype=args.compute_dtype,
+                      beam_size=args.beam_size))
+    waves = [load_audio(str(p)) for p in paths]
+    results = engine.infer_batch(waves)
+    rows = [{"path": str(p), "transcript": r.transcript,
+             "ad_pred": r.ad_pred, "ad_prob": round(r.ad_prob, 4)}
+            for p, r in zip(paths, results)]
+    if args.out:
+        import csv as _csv
+
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["path", "transcript",
+                                               "ad_pred", "ad_prob"])
+            w.writeheader()
+            w.writerows(rows)
+    for row in rows:
+        print(json.dumps(row))
+
+
 def cmd_export_hf(args):
     """Export trained params to an HF torch state_dict (pytorch_model.bin
     layout) so reference-style torch pipelines can load them
@@ -748,6 +788,17 @@ def main(argv=None):
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_text)
+
+    p = sub.add_parser("transcribe",
+                       help="batch-transcribe WAV file(s) without the CSV "
+                            "pipeline (ASR transcript + AD prediction)")
+    _add_common(p)
+    p.add_argument("--audio", required=True,
+                   help="a .wav file or a directory (searched recursively)")
+    p.add_argument("--out", default=None, help="optional output CSV")
+    p.add_argument("--max_seconds", type=float, default=30.0)
+    p.add_argument("--beam_size", type=int, default=0)
+    p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("export-hf",
                        help="trained params -> HF torch state_dict "

@@ -239,3 +239,17 @@ def test_cli_text_experiment_with_real_bert(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["experiment"] == "session_text"
     assert 0.0 <= out["acc"] <= 1.0
+
+
+def test_cli_transcribe(data_dir, tmp_path, capsys):
+    main(["transcribe", "--model_type", "tiny", "-st", "0",
+          "--audio", str(data_dir / "clips"),
+          "--out", str(tmp_path / "tx.csv"),
+          "--eval_batch_size", "2", "--compute_dtype", "float32",
+          "--max_seconds", "1.0"])
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 6
+    row = json.loads(lines[0])
+    assert {"path", "transcript", "ad_pred", "ad_prob"} <= set(row)
+    assert (tmp_path / "tx.csv").read_text().count("\n") == 7  # header + 6
