@@ -657,14 +657,17 @@ class FederatedEngine:
         data = self._client_round_batches(cids, rnd, source=source)
         return data, ("sup", data.input_values.shape[1])
 
-    def _round_ckpts(self):
-        """Sorted (round, path) list of round checkpoints on disk."""
+    def _round_ckpts(self, stage: int):
+        """Sorted (round, path) list of this stage's round checkpoints.
+        Checkpoints are namespaced per stage (``stage{S}-round-{N}``) so a
+        full-pipeline run's stages neither resume from nor garbage-collect
+        each other's rounds."""
         from pathlib import Path
 
         d = Path(self.fcfg.round_save_dir)
         out = []
-        for p in d.glob("round-*"):
-            tail = p.name.split("-", 1)[1]
+        for p in d.glob(f"stage{stage}-round-*"):
+            tail = p.name.rsplit("-", 1)[1]
             if tail.isdigit():
                 out.append((int(tail), p))
         return sorted(out)
@@ -677,29 +680,27 @@ class FederatedEngine:
 
         from ..train.checkpoint import save_params
 
-        save_params(f"{f.round_save_dir}/round-{rnd}", self.global_params,
-                    {"stage": stage, "round": rnd})
-        ckpts = self._round_ckpts()
+        save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}",
+                    self.global_params, {"stage": stage, "round": rnd})
+        ckpts = self._round_ckpts(stage)
         for _, p in ckpts[: max(0, len(ckpts) - f.round_save_limit)]:
             shutil.rmtree(p)
 
     def _maybe_resume_rounds(self, stage: int) -> int:
-        """Load the newest matching-stage round checkpoint (if configured);
+        """Load this stage's newest round checkpoint (if configured);
         returns the number of rounds already completed."""
-        import json as _json
-
         f = self.fcfg
         if f.round_save_dir is None:
             return 0
         from ..train.checkpoint import load_params
 
-        for rnd, p in reversed(self._round_ckpts()):
-            meta = p / "metadata.json"
-            if meta.exists() and _json.loads(meta.read_text()).get("stage") == stage:
-                self.global_params = load_params(str(p))
-                self.logger.log({"fl_resume_round": rnd, "stage": stage})
-                return rnd
-        return 0
+        ckpts = self._round_ckpts(stage)
+        if not ckpts:
+            return 0
+        rnd, p = ckpts[-1]
+        self.global_params = load_params(str(p))
+        self.logger.log({"fl_resume_round": rnd, "stage": stage})
+        return rnd
 
     def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:
         """FedAvg rounds (reference FL_training_rounds,

@@ -154,8 +154,8 @@ def test_round_checkpoint_save_resume(tmp_path):
 
     eng1 = engine_with_dir()
     eng1.run_rounds(stage=2, num_rounds=2)
-    assert sorted(p.name for p in (tmp_path / "rounds").glob("round-*")) == \
-        ["round-1", "round-2"]
+    assert sorted(p.name for p in (tmp_path / "rounds").glob("*round-*")) == \
+        ["stage2-round-1", "stage2-round-2"]
 
     # fresh engine, same dir: fully resumed, params identical, no new rounds
     eng2 = engine_with_dir()
@@ -166,7 +166,7 @@ def test_round_checkpoint_save_resume(tmp_path):
 
     # drop the newest checkpoint: resume at round 1, re-run round 2 only,
     # same final params (round math is deterministic in seed + plan)
-    shutil.rmtree(tmp_path / "rounds" / "round-2")
+    shutil.rmtree(tmp_path / "rounds" / "stage2-round-2")
     eng3 = engine_with_dir()
     eng3.run_rounds(stage=2, num_rounds=2)
     jax.tree.map(
