@@ -33,7 +33,27 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
+def _arm_watchdog(seconds: float) -> None:
+    """Hard exit if the bench wedges (e.g. the remote-compile tunnel hangs,
+    observed 2026-08-18) — a stuck bench must not stall the driver."""
+    import os
+    import sys
+    import threading
+
+    def boom():
+        print(f"bench watchdog: no result after {seconds:.0f}s, aborting",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    import os
+
+    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     import jax
 
     # RBG PRNG: threefry dropout-mask generation costs ~55 ms/step on this
