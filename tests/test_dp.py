@@ -178,3 +178,22 @@ def test_round_checkpoint_save_resume(tmp_path):
     # wrong-stage checkpoints are ignored
     eng4 = engine_with_dir()
     assert eng4._maybe_resume_rounds(stage=0) == 0
+
+
+def test_engine_dp_with_mesh_matches_no_mesh():
+    """The DP aggregation (per-client clip norms + noised mean) must be
+    GSPMD-correct when the client axis is sharded over a mesh."""
+    import dataclasses as dc
+
+    from privacy_preserve_federated_asr_tpu.parallel import make_mesh
+
+    plain = _engine(dp_clip=0.05, dp_noise=0.1)
+    plain.run_rounds(stage=2, num_rounds=1)
+    meshed = _engine(dp_clip=0.05, dp_noise=0.1)
+    meshed.fcfg = dc.replace(meshed.fcfg, mesh=make_mesh(client=2, data=4))
+    meshed.run_rounds(stage=2, num_rounds=1)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-5),  # GSPMD reduction-order fp noise
+        plain.global_params, meshed.global_params)
