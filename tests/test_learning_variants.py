@@ -125,3 +125,57 @@ def test_single_toggle_two_stage_learns(base, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(params["lm_head"]["kernel"]),
         np.asarray(trained["lm_head"]["kernel"]))
+
+
+def test_fsm_stage2_learns(base, tmp_path):
+    """FSM stage 2 (encoder + FSM masks + heads; sigmoid-threshold masks
+    carry the reference's zero-gradient quirk, so the masks stay at their
+    init and learning flows through the encoder/heads). Like the reference
+    (which fine-tunes a PRETRAINED data2vec, trainer_data2vec_5st.py), it
+    starts from the trained encoder: CTC decodes through the fixed random
+    mask and the AD head separates the accents."""
+    exs, trained = base
+    cfg = DACSConfig(backbone=_BB, stage=2, ad_loss="cel", method="fsm")
+    params = jax.device_get(init_recipe_params(cfg, jax.random.PRNGKey(2)))
+    params["backbone"] = trained["backbone"]
+    params["lm_head"] = trained["lm_head"]
+    params, ev = _train(cfg, params, exs, epochs=150, lr=1e-3,
+                        log_dir=str(tmp_path))
+    assert ev["eval_wer"] <= 0.05, ev
+    assert ev["eval_ad_acc"] >= 0.85, ev
+
+
+def test_toggle_more_pipeline_learns(base, tmp_path):
+    """toggle_more = the reference's stages 1 (AD head) -> 2 (arbitrator,
+    exactly DACS stage 2 — loss-identity tested in test_recipes) -> 3
+    (joint arbitrator + both heads, no AM-softmax). After the full
+    pipeline the lm-masked stream still decodes while the AD head recovers
+    little from it (privacy holds through the joint fine-tune)."""
+    from tests.test_learning import _stream_stats
+
+    exs, trained = base
+    cfg1 = DACSConfig(backbone=_BB, stage=1, ad_loss="cel",
+                      method="toggle_more")
+    params = jax.device_get(init_recipe_params(cfg1, jax.random.PRNGKey(3)))
+    params["backbone"] = trained["backbone"]
+    params["lm_head"] = trained["lm_head"]
+    params, _ = _train(cfg1, params, exs, epochs=150, lr=1e-2,
+                       log_dir=str(tmp_path))
+    accs1, _, _ = _stream_stats(exs, params)
+    assert accs1["unmask"] >= 0.85, accs1
+
+    # stage 2: arbitrator only (== DACS stage 2) — masks diverge
+    params, ev2 = _train(cfg1.replace(stage=2), params, exs, epochs=200,
+                         lr=2e-3, log_dir=str(tmp_path))
+    assert ev2["eval_wer"] == 0.0, ev2
+    accs2, _, _ = _stream_stats(exs, params)
+    assert accs2["lm"] <= 0.6, accs2  # privacy established
+
+    # stage 3: short joint fine-tune of arbitrator + both heads must keep
+    # decode AND privacy (the distinct toggle_more phase,
+    # OtherMdls_Toggle_more.py:736-753,1048-1060)
+    params, ev3 = _train(cfg1.replace(stage=3), params, exs, epochs=50,
+                         lr=5e-4, log_dir=str(tmp_path))
+    assert ev3["eval_wer"] <= 0.05, ev3
+    accs3, _, _ = _stream_stats(exs, params)
+    assert accs3["lm"] <= 0.6, (accs2, accs3)
