@@ -117,8 +117,16 @@ def _graft_matching_heads(params: dict, ported: dict) -> dict:
 
     shapes = lambda t: jax.tree.map(lambda a: tuple(a.shape), t)
     for k, v in ported.items():
-        if k in params and shapes(v) == shapes(params[k]):
+        if k not in params:
+            continue
+        if shapes(v) == shapes(params[k]):
             params[k] = v
+        else:
+            # loud skip: a silently-dropped head leaves its random init in
+            # place and the run emits garbage with exit code 0
+            print(f"[load] WARNING: checkpoint head '{k}' shape "
+                  f"{shapes(v)} != model's {shapes(params[k])} — "
+                  f"skipped (wrong --method or vocab for this checkpoint?)")
     return params
 
 
@@ -312,24 +320,33 @@ def cmd_federated(args):
     print(json.dumps(eng.evaluate(stage=min(max(args.FL_STAGE - 1, 0), 2))))
 
 
+def _fit_shallow_fusion_lm(args, tok, cfg):
+    """Char-bigram LM for beam-search shallow fusion, fitted on the
+    transcripts CSV — shared by cmd_extract and cmd_serve. None when beam
+    decoding or the LM CSV is not requested."""
+    if not (args.beam_size > 0 and args.lm_train_csv):
+        return None
+    import csv as _csv
+
+    from .ops.beam import CharBigramLM
+
+    with open(args.lm_train_csv, newline="") as f:
+        seqs = [tok.encode(row["sentence"].upper())
+                for row in _csv.DictReader(f) if row.get("sentence")]
+    return CharBigramLM(cfg.backbone.vocab_size).fit(seqs)
+
+
 def cmd_extract(args):
     from .evaluation import extract_embeddings, rows_to_pickle, write_results_csv
 
     cfg = _dacs_cfg(args)
     params = load_params(cfg, args.model_in_path, args.seed)
     out_dir = Path(args.csv_out_dir)
+    lm_fn = None
     for split, csv_path in (("", args.test_csv), ("_train", args.train_csv)):
         exs, tok = _load_examples(args, csv_path)
-        lm_fn = None
-        if args.beam_size > 0 and args.lm_train_csv:
-            import csv as _csv
-
-            from .ops.beam import CharBigramLM
-
-            with open(args.lm_train_csv, newline="") as f:
-                seqs = [tok.encode(row["sentence"].upper())
-                        for row in _csv.DictReader(f) if row.get("sentence")]
-            lm_fn = CharBigramLM(cfg.backbone.vocab_size).fit(seqs)
+        if lm_fn is None:
+            lm_fn = _fit_shallow_fusion_lm(args, tok, cfg)
         rows = extract_embeddings(cfg, params, exs, tok,
                                   batch_size=args.eval_batch_size,
                                   compute_dtype=args.compute_dtype,
@@ -350,17 +367,7 @@ def cmd_serve(args):
     cfg = _dacs_cfg(args)
     params = load_params(cfg, args.model_in_path, args.seed)
     tok = CTCCharTokenizer()
-    lm_fn = None
-    if args.beam_size > 0 and args.lm_train_csv:
-        # shallow-fusion char LM fitted on the training transcripts
-        import csv as _csv
-
-        from .ops.beam import CharBigramLM
-
-        with open(args.lm_train_csv, newline="") as f:
-            seqs = [tok.encode(row["sentence"].upper())
-                    for row in _csv.DictReader(f) if row.get("sentence")]
-        lm_fn = CharBigramLM(cfg.backbone.vocab_size).fit(seqs)
+    lm_fn = _fit_shallow_fusion_lm(args, tok, cfg)
     engine = InferenceEngine(
         cfg, params, tok,
         ServingConfig(batch_size=args.eval_batch_size,

@@ -112,9 +112,15 @@ def _load_all_audio(wav_paths: list[str], target_sr: int) -> list:
 
     if native_audio.available():
         sigs = native_audio.load_many_native(wav_paths, target_sr=target_sr)
-        for p, s in zip(wav_paths, sigs):
+        # the native parser covers PCM 8/16/24/32 + IEEE float32; retry its
+        # failures with scipy, which also reads e.g. float64 WAVs — a corpus
+        # must not shrink just because the C++ loader was buildable
+        for i, (p, s) in enumerate(zip(wav_paths, sigs)):
             if s is None:
-                print(f"Err file = {p}: native load failed")
+                try:
+                    sigs[i] = load_audio(p, target_sr=target_sr)
+                except (ValueError, FileNotFoundError) as e:
+                    print(f"Err file = {p}: {e}")
         return sigs
     out = []
     for p in wav_paths:

@@ -16,36 +16,13 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-from pathlib import Path
 
 import numpy as np
 
-_LIB = None
-_LIB_TRIED = False
-
-_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_SO = _NATIVE_DIR / "libdacsaudio.so"
+from ..utils.native import load_native_lib
 
 
-def _load_lib():
-    global _LIB, _LIB_TRIED
-    if _LIB is not None or _LIB_TRIED:
-        return _LIB
-    _LIB_TRIED = True
-    if not _SO.exists() and (_NATIVE_DIR / "wavio.cpp").exists():
-        # one best-effort build; stays silent on toolchain-less machines
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
-    if not _SO.exists():
-        return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError:
-        return None
+def _setup(lib: ctypes.CDLL) -> None:
     lib.dacs_load_wav.restype = ctypes.c_long
     lib.dacs_load_wav.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
@@ -58,8 +35,10 @@ def _load_lib():
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_long)]
-    _LIB = lib
-    return _LIB
+
+
+def _load_lib():
+    return load_native_lib("libdacsaudio.so", "wavio.cpp", _setup)
 
 
 def available() -> bool:

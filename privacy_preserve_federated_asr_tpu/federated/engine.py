@@ -145,6 +145,15 @@ class FederatedConfig:
     round_save_every: int = 1
     round_save_limit: int = 2       # like the reference's save_total_limit
 
+    def __post_init__(self):
+        if self.dp_noise_multiplier and self.dp_clip_norm is None:
+            # noise std is defined as clip * multiplier / K — without a clip
+            # norm there is no DP at all; silently running plain FedAvg
+            # under a "DP" flag would mislabel the run
+            raise ValueError(
+                "dp_noise_multiplier > 0 requires dp_clip_norm (the noise "
+                "std is clip * multiplier / K); set --dp_clip_norm")
+
 
 class FederatedEngine:
     def __init__(
@@ -662,14 +671,19 @@ class FederatedEngine:
         Checkpoints are namespaced per stage (``stage{S}-round-{N}``) so a
         full-pipeline run's stages neither resume from nor garbage-collect
         each other's rounds."""
+        import re
         from pathlib import Path
 
         d = Path(self.fcfg.round_save_dir)
         out = []
+        # strict match: orbax leaves '<name>.orbax-checkpoint-tmp-<ts>'
+        # debris behind on a crash mid-save — the all-digit timestamp must
+        # not parse as a (huge, unfinished) round number
+        pat = re.compile(rf"^stage{stage}-round-(\d+)$")
         for p in d.glob(f"stage{stage}-round-*"):
-            tail = p.name.rsplit("-", 1)[1]
-            if tail.isdigit():
-                out.append((int(tail), p))
+            m = pat.match(p.name)
+            if m is not None:
+                out.append((int(m.group(1)), p))
         return sorted(out)
 
     def _maybe_save_round(self, stage: int, rnd: int) -> None:

@@ -167,33 +167,10 @@ def beam_search_batch(
 
 # ---- native backend (native/beam.cpp via ctypes) ----
 
-_LIB = None
-_LIB_TRIED = False
 
-
-def _load_native():
-    global _LIB, _LIB_TRIED
-    if _LIB is not None or _LIB_TRIED:
-        return _LIB
-    _LIB_TRIED = True
+def _setup(lib) -> None:
     import ctypes
-    import subprocess
-    from pathlib import Path
 
-    native_dir = Path(__file__).resolve().parents[2] / "native"
-    so = native_dir / "libdacsbeam.so"
-    if not so.exists() and (native_dir / "beam.cpp").exists():
-        try:  # one best-effort build; silent on toolchain-less machines
-            subprocess.run(["make", "-C", str(native_dir), "libdacsbeam.so"],
-                           check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
-    if not so.exists():
-        return None
-    try:
-        lib = ctypes.CDLL(str(so))
-    except OSError:
-        return None
     lib.dacs_ctc_beam_search.restype = ctypes.c_long
     lib.dacs_ctc_beam_search.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long,
@@ -201,8 +178,12 @@ def _load_native():
         ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
         ctypes.POINTER(ctypes.c_float)]
-    _LIB = lib
-    return _LIB
+
+
+def _load_native():
+    from ..utils.native import load_native_lib
+
+    return load_native_lib("libdacsbeam.so", "beam.cpp", _setup)
 
 
 def native_available() -> bool:

@@ -58,15 +58,48 @@ def _decode_wav(body: bytes) -> np.ndarray:
 
 
 _MAX_SESSIONS = 64
+_SESSION_IDLE_TTL_S = 600.0
+
+
+class _SessionEntry:
+    """A streaming session plus its serialization lock and idle clock.
+
+    StreamingSession is not thread-safe (its doc contract); the
+    ThreadingHTTPServer handles each request on its own thread, so feed/
+    finish must serialize per session. ``last_used`` drives the idle
+    reaper — abandoned sessions (client crashed, never POSTed finish) must
+    not pin the session table at ``_MAX_SESSIONS`` forever.
+    """
+
+    def __init__(self, sess: StreamingSession):
+        import time
+
+        self.sess = sess
+        self.lock = threading.Lock()
+        self.last_used = time.monotonic()
+
+    def touch(self) -> None:
+        import time
+
+        self.last_used = time.monotonic()
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 port: int = 8008,
-                stream_cfg: StreamingConfig | None = None) -> ThreadingHTTPServer:
+                stream_cfg: StreamingConfig | None = None,
+                session_idle_ttl_s: float = _SESSION_IDLE_TTL_S,
+                ) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server bound to ``host:port``."""
+    import time
+
     counter = {"requests": 0}
     lock = threading.Lock()
-    sessions: dict[str, StreamingSession] = {}
+    sessions: dict[str, _SessionEntry] = {}
+
+    def _reap_idle_locked() -> None:
+        cutoff = time.monotonic() - session_idle_ttl_s
+        for sid in [s for s, e in sessions.items() if e.last_used < cutoff]:
+            del sessions[sid]
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -101,20 +134,23 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             parts = self.path.strip("/").split("/")  # stream[/<id>[/finish]]
             if parts == ["stream", "start"]:
                 with lock:
+                    _reap_idle_locked()
                     if len(sessions) >= _MAX_SESSIONS:
                         self._reply(429, {"error": "too many sessions"})
                         return
                     sid = uuid.uuid4().hex[:16]
-                    sessions[sid] = StreamingSession(engine, stream_cfg)
+                    sessions[sid] = _SessionEntry(
+                        StreamingSession(engine, stream_cfg))
                 self._reply(200, {"session": sid})
                 return
             with lock:
-                sess = sessions.get(parts[1]) if len(parts) >= 2 else None
-            if sess is None:
+                entry = sessions.get(parts[1]) if len(parts) >= 2 else None
+            if entry is None:
                 self._reply(404, {"error": "unknown session"})
                 return
             if len(parts) == 3 and parts[2] == "finish":
-                r = sess.finish()
+                with entry.lock:
+                    r = entry.sess.finish()
                 with lock:
                     sessions.pop(parts[1], None)
             else:
@@ -122,7 +158,9 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 if audio.size == 0:
                     self._reply(400, {"error": "empty audio"})
                     return
-                r = sess.feed(audio)
+                with entry.lock:
+                    r = entry.sess.feed(audio)
+                    entry.touch()
             self._reply(200, {
                 "transcript": r.transcript,
                 "final_transcript": r.final_transcript,
@@ -158,13 +196,14 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
 
 
 def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
-                  port: int = 8008, warmup: bool = True) -> None:
+                  port: int = 8008, warmup: bool = True,
+                  stream_cfg: StreamingConfig | None = None) -> None:
     """Start the dispatcher, optionally precompile every bucket, serve."""
     engine.start()
     if warmup:
         n = engine.warmup()
         print(f"[serve] warmed {n} bucket programs")
-    srv = make_server(engine, host, port)
+    srv = make_server(engine, host, port, stream_cfg=stream_cfg)
     print(f"[serve] listening on http://{host}:{port} "
           f"(POST /asr, GET /healthz)")
     try:

@@ -132,6 +132,29 @@ def test_engine_dp_vanishing_equals_vanilla_round():
         dp.global_params, vanilla.global_params)
 
 
+def test_dp_noise_without_clip_rejected():
+    """noise_multiplier > 0 with no clip norm is undefined (std = clip *
+    multiplier / K) — it must fail loudly, not silently run plain FedAvg."""
+    with pytest.raises(ValueError, match="dp_clip_norm"):
+        FederatedConfig(dp_noise_multiplier=1.0)
+
+
+def test_round_ckpts_ignores_orbax_tmp_debris(tmp_path):
+    """A crash mid-save leaves '<name>.orbax-checkpoint-tmp-<ts>' behind;
+    its all-digit timestamp must not parse as a (huge, unfinished) round."""
+    import dataclasses as dc
+
+    d = tmp_path / "rounds"
+    d.mkdir()
+    (d / "stage2-round-3").mkdir()
+    (d / "stage2-round-3.orbax-checkpoint-tmp-1755501234567890").mkdir()
+    (d / "stage1-round-9").mkdir()        # other stage: excluded too
+    eng = _engine()
+    eng.fcfg = dc.replace(eng.fcfg, round_save_dir=str(d))
+    assert [(r, p.name) for r, p in eng._round_ckpts(2)] == \
+        [(3, "stage2-round-3")]
+
+
 def test_engine_dp_rejects_weighted():
     eng = _engine(dp_clip=1.0)
     eng.fcfg = dataclasses.replace(eng.fcfg, fedavg_weighted=True)

@@ -69,3 +69,16 @@ def test_dataset_loader_uses_native_with_fallback_semantics(tmp_path, rng):
     sigs = _load_all_audio([good, str(tmp_path / "nope.wav")], 16000)
     assert sigs[1] is None
     np.testing.assert_array_equal(sigs[0], load_audio(good))
+
+
+def test_dataset_loader_retries_native_failures_with_scipy(tmp_path, rng):
+    """Formats the C++ parser skips (e.g. float64 WAV) must still load via
+    the scipy retry — a corpus must not shrink because the native loader
+    was buildable."""
+    f64 = _write(tmp_path, "f64.wav", 16000,
+                 rng.normal(0, 0.2, 4800).astype(np.float64))
+    # confirm the premise: native alone rejects it
+    assert native_audio.load_many_native([f64])[0] is None
+    sigs = _load_all_audio([f64], 16000)
+    assert sigs[0] is not None
+    np.testing.assert_array_equal(sigs[0], load_audio(f64))

@@ -144,3 +144,35 @@ def test_http_streaming_roundtrip():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_streaming_idle_sessions_reaped():
+    """Abandoned sessions (no /finish) must be reaped after the idle TTL so
+    the session table never pins at the cap."""
+    import time
+
+    eng = _engine()
+    srv = make_server(eng, port=0, session_idle_ttl_s=0.05)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        def post(path, payload=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload or {}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read())
+
+        sid = post("/stream/start")["session"]
+        time.sleep(0.1)
+        post("/stream/start")  # reap runs on session creation
+        try:
+            post(f"/stream/{sid}", {"audio": _wave(3200).tolist()})
+            raise AssertionError("expected 404 for the reaped session")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
