@@ -119,7 +119,9 @@ def _load_all_audio(wav_paths: list[str], target_sr: int) -> list:
             if s is None:
                 try:
                     sigs[i] = load_audio(p, target_sr=target_sr)
-                except (ValueError, FileNotFoundError) as e:
+                except Exception as e:  # any decode error (struct.error,
+                    # IsADirectoryError, ...) — one bad file must skip, not
+                    # abort the corpus build
                     print(f"Err file = {p}: {e}")
         return sigs
     out = []

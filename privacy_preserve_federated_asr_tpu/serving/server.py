@@ -98,7 +98,10 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
 
     def _reap_idle_locked() -> None:
         cutoff = time.monotonic() - session_idle_ttl_s
-        for sid in [s for s, e in sessions.items() if e.last_used < cutoff]:
+        # e.lock held = a feed/finish is in flight right now — never reap
+        # it out from under the request (its audio would be unrecoverable)
+        for sid in [s for s, e in sessions.items()
+                    if e.last_used < cutoff and not e.lock.locked()]:
             del sessions[sid]
 
     class Handler(BaseHTTPRequestHandler):
@@ -145,6 +148,12 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 return
             with lock:
                 entry = sessions.get(parts[1]) if len(parts) >= 2 else None
+                if entry is not None:
+                    # restart the idle clock NOW, under the table lock —
+                    # otherwise a reap between this fetch and entry.lock
+                    # acquisition could drop a session with a request in
+                    # flight (feed would 200, every later POST 404)
+                    entry.touch()
             if entry is None:
                 self._reply(404, {"error": "unknown session"})
                 return

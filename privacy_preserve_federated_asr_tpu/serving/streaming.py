@@ -130,7 +130,11 @@ class StreamingSession:
         if self._finished:
             raise RuntimeError("session already finished")
         chunk = np.asarray(chunk, np.float32).reshape(-1)
-        self._audio = np.concatenate([self._audio, chunk])
+        # _run_pass only ever reads the first max_samples; keeping more
+        # would grow an unbounded buffer under a long-lived stream
+        room = self.engine.max_samples - len(self._audio)
+        if room > 0:
+            self._audio = np.concatenate([self._audio, chunk[:room]])
         hop = int(self.scfg.min_hop_seconds * 16000)
         n = min(len(self._audio), self.engine.max_samples)
         if self._last is not None and n - self._last_pass_samples < hop:
