@@ -49,10 +49,15 @@ def _backbone_cfg(name: str):
 
 
 def _dacs_cfg(args):
+    import dataclasses
+
     from .models import DACSConfig
 
+    backbone = _backbone_cfg(args.model_type)
+    if getattr(args, "int8", False):
+        backbone = dataclasses.replace(backbone, dense_impl="int8_train")
     return DACSConfig(
-        backbone=_backbone_cfg(args.model_type),
+        backbone=backbone,
         method=getattr(args, "method", "dacs"),
         stage=args.STAGE,
         lambda_grl=args.LAMBDA,
@@ -176,6 +181,11 @@ def _add_common(p):
                    help="int8 (dynamic-W8A8 quantized matmuls, ops/quant.py)"
                         " applies to the inference surfaces only "
                         "(extract/serve); training is fp32/bf16")
+    p.add_argument("--int8", action="store_true",
+                   help="int8-quantized TRAINING matmuls (dense_impl="
+                        "'int8_train': W8A8 forward + SwitchBack custom-VJP "
+                        "gradients on the MXU's double-rate s8 path) — "
+                        "opt-in, a semantics change vs the reference")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="compile one encoder layer scanned over N "

@@ -42,14 +42,19 @@ ACT2FN: dict[str, Callable] = {
 
 def _dense_dot(cfg: BackboneConfig):
     """Dense ``dot_general`` by config: None (lax default, fp training
-    semantics) or the dynamic-W8A8 int8 matmul (ops/quant.py) for the
-    inference-only ``dense_impl="int8"`` mode."""
+    semantics), the dynamic-W8A8 int8 matmul (ops/quant.py) for the
+    inference-only ``dense_impl="int8"`` mode, or its custom-VJP
+    SwitchBack-gradient twin for ``dense_impl="int8_train"``."""
     if cfg.dense_impl == "fp":
         return None
     if cfg.dense_impl == "int8":
         from ..ops.quant import int8_dense_dot_general
 
         return int8_dense_dot_general
+    if cfg.dense_impl == "int8_train":
+        from ..ops.quant import int8_train_dense_dot_general
+
+        return int8_train_dense_dot_general
     raise ValueError(f"unknown dense_impl {cfg.dense_impl!r}")
 
 

@@ -50,6 +50,8 @@ class BackboneConfig:
     # "fp": matmuls in `dtype` (training semantics). "int8": dynamic W8A8
     # quantized Dense matmuls (ops/quant.py) on the MXU's double-rate s8
     # path — INFERENCE ONLY (serving/extraction; Trainer rejects it).
+    # "int8_train": the trainable variant (custom-VJP SwitchBack gradients,
+    # cli train --int8) — opt-in, a semantics change vs the reference.
     dense_impl: str = "fp"
 
     # SEW-D extras (squeezed encoder + DeBERTa-v2 disentangled attention)

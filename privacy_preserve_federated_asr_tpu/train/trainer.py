@@ -114,13 +114,16 @@ class Trainer:
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
-        if cfg.backbone.dense_impl != "fp" or tcfg.compute_dtype not in _DTYPES:
-            # int8 rounding has no useful gradient; quantized matmuls are
-            # the inference surfaces' knob (serving/extraction)
+        if cfg.backbone.dense_impl not in ("fp", "int8_train") \
+                or tcfg.compute_dtype not in _DTYPES:
+            # the inference-only "int8" impl has no gradient rule; training
+            # quantization goes through "int8_train" (custom-VJP SwitchBack
+            # gradients, ops/quant.py)
             raise ValueError(
                 f"dense_impl={cfg.backbone.dense_impl!r} / compute_dtype="
-                f"{tcfg.compute_dtype!r}: int8 is inference-only; training "
-                "requires 'fp' ('float32'/'bfloat16')")
+                f"{tcfg.compute_dtype!r}: training requires dense_impl "
+                "'fp' or 'int8_train' with compute_dtype "
+                "'float32'/'bfloat16'")
         self.cfg = cfg
         self.tcfg = tcfg
         self.tokenizer = tokenizer

@@ -35,7 +35,7 @@ def time_fn(fn, args, warmup=3, iters=10, flush=lambda out: None):
 
 
 def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
-                     label_len=48, stage=0):
+                     label_len=48, stage=0, dense_impl="fp"):
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.models.dacs import DACSModel
     from privacy_preserve_federated_asr_tpu.train.optim import make_optimizer
@@ -46,7 +46,8 @@ def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
     samples = int(16000 * seconds)
     cfg = DACSConfig(
         backbone=BackboneConfig.data2vec_audio_large().replace(
-            final_dropout=0.0, attention_impl=attention_impl),
+            final_dropout=0.0, attention_impl=attention_impl,
+            dense_impl=dense_impl),
         stage=stage, ad_loss="recall")
     model = DACSModel(cfg, dtype=jnp.bfloat16, remat=False)
     params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
@@ -77,7 +78,8 @@ def bench_train_step(batch_size, seconds=5.0, attention_impl="auto",
         return m
 
     dt = time_fn(run, (batch,), flush=lambda m: float(m["loss"]))
-    return {"config": f"train B={batch_size} T={seconds}s attn={attention_impl} st={stage}",
+    return {"config": f"train B={batch_size} T={seconds}s attn={attention_impl}"
+                      f" st={stage} dense={dense_impl}",
             "step_ms": round(dt * 1000, 2),
             "utt_per_sec": round(batch_size / dt, 1)}
 
@@ -274,6 +276,14 @@ def main():
             compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16")
     elif mode == "posconv":
         bench_posconv()
+    elif mode == "int8mm":
+        bench_int8_matmul_ceiling()
+    elif mode == "int8train":
+        # fp vs SwitchBack-int8 train step A/B at the bench shapes
+        bs = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+        for impl in ("fp", "int8_train"):
+            print(json.dumps(bench_train_step(bs, dense_impl=impl)),
+                  flush=True)
     elif mode == "one":
         print(json.dumps(bench_train_step(
             int(sys.argv[2]),
@@ -306,6 +316,63 @@ def bench_matmul_ceiling():
         dt = time_fn(f, (x, w1, w2), flush=float)
         fl = 8 * 2 * (2 * m * k * n)
         print(json.dumps({"config": f"mm {m}x{k}x{n} chain16",
+                          "ms": round(dt * 1e3, 3),
+                          "tflops": round(fl / dt / 1e12, 1)}), flush=True)
+
+
+def bench_int8_matmul_ceiling():
+    """s8xs8->s32 MXU chain at the model's shapes, next to bf16 — measures
+    whether this chip's int8 path actually delivers the 2x datasheet rate
+    (and what the dynamic-quantize rescale overhead costs) before betting
+    the int8_train step on it."""
+    from privacy_preserve_federated_asr_tpu.ops.quant import (
+        int8_dense_dot_general, quantize_symmetric)
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    for (m, k, n) in [(3984, 1024, 4096), (3984, 4096, 1024),
+                      (3984, 1024, 1024), (8192, 1024, 4096)]:
+        fl = 8 * 2 * (2 * m * k * n)
+        # (a) pure s8 chain, pre-quantized weights, s32 accumulate: the
+        # hardware ceiling with no quantize work in the loop
+        xq, _ = quantize_symmetric(
+            jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32), axis=-1)
+        w1q, _ = quantize_symmetric(
+            jnp.asarray(rng.normal(0, 0.02, (k, n)), jnp.float32), axis=0)
+        w2q, _ = quantize_symmetric(
+            jnp.asarray(rng.normal(0, 0.02, (n, k)), jnp.float32), axis=0)
+
+        def chain_s8(x, w1, w2):
+            h = x
+            for _ in range(8):
+                a = lax.dot_general(h, w1, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                a = (a >> 7).astype(jnp.int8)     # cheap requantize
+                b = lax.dot_general(a, w2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                h = (b >> 7).astype(jnp.int8)
+            return h.sum()
+
+        dt = time_fn(jax.jit(chain_s8), (xq, w1q, w2q), flush=float)
+        print(json.dumps({"config": f"int8mm {m}x{k}x{n} s8-chain16",
+                          "ms": round(dt * 1e3, 3),
+                          "tflops": round(fl / dt / 1e12, 1)}), flush=True)
+        # (b) the real op: dynamic W8A8 incl. per-call quantize + rescale
+        x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.normal(0, 0.02, (k, n)), jnp.bfloat16)
+        w2 = jnp.asarray(rng.normal(0, 0.02, (n, k)), jnp.bfloat16)
+
+        def chain_dyn(x, w1, w2):
+            h = x
+            for _ in range(8):
+                h = int8_dense_dot_general(
+                    h, w1, (((1,), (0,)), ((), ())))
+                h = int8_dense_dot_general(
+                    h, w2, (((1,), (0,)), ((), ())))
+            return h.sum()
+
+        dt = time_fn(jax.jit(chain_dyn), (x, w1, w2), flush=float)
+        print(json.dumps({"config": f"int8mm {m}x{k}x{n} dynW8A8-chain16",
                           "ms": round(dt * 1e3, 3),
                           "tflops": round(fl / dt / 1e12, 1)}), flush=True)
 

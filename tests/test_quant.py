@@ -132,12 +132,109 @@ def test_trainer_rejects_int8():
 
     cfg = _tiny_cfg()
     params = init_dacs_params(cfg, jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="inference-only"):
+    with pytest.raises(ValueError, match="training requires"):
         Trainer(cfg.replace(backbone=cfg.backbone.replace(dense_impl="int8")),
                 params, [], None, CTCCharTokenizer(), TrainerConfig())
-    with pytest.raises(ValueError, match="inference-only"):
+    with pytest.raises(ValueError, match="training requires"):
         Trainer(cfg, params, [], None, CTCCharTokenizer(),
                 TrainerConfig(compute_dtype="int8"))
+
+
+# --- int8_train (SwitchBack custom-VJP, ops/quant.py) ---------------------
+
+
+def test_int8_train_forward_matches_int8_inference():
+    """The trainable dot's forward is the SAME dynamic-W8A8 math as the
+    inference dot — serving a model trained with int8_train under the int8
+    inference path is exact."""
+    from privacy_preserve_federated_asr_tpu.ops.quant import (
+        int8_train_dense_dot_general,
+    )
+
+    rng = np.random.default_rng(4)
+    lhs = jnp.asarray(rng.normal(0, 1, (3, 17, 64)), jnp.float32)
+    rhs = jnp.asarray(rng.normal(0, 0.05, (64, 48)), jnp.float32)
+    dims = (((2,), (0,)), ((), ()))
+    np.testing.assert_array_equal(
+        int8_train_dense_dot_general(lhs, rhs, dims),
+        int8_dense_dot_general(lhs, rhs, dims))
+
+
+def test_int8_train_gradients_close_to_fp():
+    """SwitchBack gradients: grad_weight is exact compute-dtype math on the
+    un-quantized operands; grad_input is int8-quantized. Both must stay
+    directionally aligned with the fp path's gradients."""
+    from privacy_preserve_federated_asr_tpu.ops.quant import (
+        int8_train_dense_dot_general,
+    )
+
+    rng = np.random.default_rng(5)
+    lhs = jnp.asarray(rng.normal(0, 1, (4, 33, 64)), jnp.float32)
+    rhs = jnp.asarray(rng.normal(0, 0.05, (64, 48)), jnp.float32)
+    dims = (((2,), (0,)), ((), ()))
+
+    def loss(dot):
+        return lambda a, w: 0.5 * (dot(a, w, dims) ** 2).sum()
+
+    g_q = jax.grad(loss(int8_train_dense_dot_general), argnums=(0, 1))(lhs, rhs)
+    g_fp = jax.grad(loss(lax.dot_general), argnums=(0, 1))(lhs, rhs)
+    for got, want in zip(g_q, g_fp):
+        a, b = np.asarray(got, np.float64).ravel(), np.asarray(
+            want, np.float64).ravel()
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.99, cos
+
+
+def test_int8_train_non_dense_pattern_differentiable_exact():
+    from privacy_preserve_federated_asr_tpu.ops.quant import (
+        int8_train_dense_dot_general,
+    )
+
+    rng = np.random.default_rng(6)
+    lhs = jnp.asarray(rng.normal(0, 1, (2, 5, 8)), jnp.float32)
+    rhs = jnp.asarray(rng.normal(0, 1, (2, 8, 3)), jnp.float32)
+    dims = (((2,), (1,)), ((0,), (0,)))
+    f_q = lambda a, w: int8_train_dense_dot_general(a, w, dims).sum()
+    f_fp = lambda a, w: lax.dot_general(a, w, dims).sum()
+    np.testing.assert_array_equal(f_q(lhs, rhs), f_fp(lhs, rhs))
+    for got, want in zip(jax.grad(f_q, (0, 1))(lhs, rhs),
+                         jax.grad(f_fp, (0, 1))(lhs, rhs)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+
+
+def test_trainer_accepts_int8_train_and_steps():
+    """dense_impl='int8_train' trains: two steps on tiny data produce a
+    finite, changing loss and updated params."""
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+    from privacy_preserve_federated_asr_tpu.train.trainer import (
+        Trainer,
+        TrainerConfig,
+    )
+
+    tok = CTCCharTokenizer()
+    cfg = _tiny_cfg().replace(stage=0)
+    cfg = cfg.replace(backbone=cfg.backbone.replace(dense_impl="int8_train"))
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    examples = []
+    for i in range(4):
+        arr = rng.normal(0, 0.3, 3200).astype(np.float32)
+        text = ["HI", "OK GO"][i % 2]
+        examples.append(AsrExample(
+            path=f"S{i:03d}_PAR_0_0.wav", array=arr, text=text,
+            dementia_label=i % 2, input_values=arr,
+            labels=np.asarray(tok.encode(text), dtype=np.int32)))
+    tr = Trainer(cfg, params, examples, None, tok,
+                 TrainerConfig(num_epochs=1, batch_size=2,
+                               time_multiple=3200, warmup_steps=1,
+                               logging_steps=10**6, cache_encoder=False))
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(tr.state.params)]
+    tr.train()
+    after = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.state.params)]
+    assert all(np.isfinite(x).all() for x in after)
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
 def test_serving_engine_int8_smoke():
