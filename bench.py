@@ -50,10 +50,44 @@ def _arm_watchdog(seconds: float) -> None:
     t.start()
 
 
+def _wait_for_backend() -> None:
+    """Probe TPU backend health in a SUBPROCESS, retrying for a bounded
+    window (BENCH_INIT_WAIT_S, default 15 min). The tunnel to the chip
+    flaps (observed down for stretches of 2026-08-18, backend init raising
+    UNAVAILABLE); a failed in-process init is cached by jax for the life of
+    the process, so the probe must be out-of-process. If the window
+    expires, proceed anyway — the real run produces the genuine error."""
+    import os
+    import subprocess
+    import sys
+    import time as _t
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    deadline = _t.monotonic() + float(os.environ.get("BENCH_INIT_WAIT_S", "900"))
+    probe = "import jax; jax.devices()"
+    while True:
+        try:
+            ok = subprocess.run([sys.executable, "-c", probe],
+                                capture_output=True,
+                                timeout=300).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        if _t.monotonic() >= deadline:
+            print("bench: TPU backend still unavailable after the init "
+                  "window; attempting the run anyway", file=sys.stderr,
+                  flush=True)
+            return
+        _t.sleep(30)
+
+
 def main() -> None:
     import os
 
     _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+    _wait_for_backend()
     import jax
 
     # RBG PRNG: threefry dropout-mask generation costs ~55 ms/step on this

@@ -237,6 +237,72 @@ def test_trainer_accepts_int8_train_and_steps():
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
+def test_int8_train_learns_ctc_to_zero_wer(tmp_path):
+    """Learning proof for the quantized training path: stage-0 CTC
+    fine-tuning with SwitchBack int8 matmuls reaches WER 0 on the same
+    tone-coded synthetic speech as the fp proof (tests/test_learning.py) —
+    the straight-through estimator is good enough to converge, not just to
+    produce finite gradients."""
+    from privacy_preserve_federated_asr_tpu.train.trainer import (
+        Trainer,
+        TrainerConfig,
+    )
+
+    from tests.test_learning import _BB, _make_examples
+
+    exs = _make_examples()
+    cfg = DACSConfig(
+        backbone=_BB.replace(dense_impl="int8_train"), stage=0, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    tr = Trainer(cfg, params, exs, exs, CTCCharTokenizer(), TrainerConfig(
+        num_epochs=70, batch_size=8, time_multiple=3200,
+        learning_rate=1e-3, warmup_steps=20, logging_steps=10**6,
+        eval_steps=10**6, log_dir=str(tmp_path)))
+    tr.train()
+    ev = tr.evaluate()
+    assert ev["eval_wer"] == 0.0, ev
+
+
+def test_federated_engine_runs_int8_train_round():
+    """cli federated --int8 path: the jitted FL round (vmap local scan +
+    FedAvg + graft) runs with SwitchBack int8 matmuls and moves the
+    stage network finitely."""
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+    from privacy_preserve_federated_asr_tpu.federated import (
+        FederatedConfig,
+        FederatedEngine,
+    )
+
+    tok = CTCCharTokenizer()
+    cfg = _tiny_cfg().replace(stage=0)
+    cfg = cfg.replace(backbone=cfg.backbone.replace(dense_impl="int8_train"))
+    params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+
+    def mk(n, seed):
+        rng = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            arr = rng.normal(0, 0.3, 3200).astype(np.float32)
+            text = ["HI", "OK GO"][i % 2]
+            out.append(AsrExample(
+                path=f"S{seed}{i:02d}_PAR_0_0.wav", array=arr, text=text,
+                dementia_label=i % 2, input_values=arr,
+                labels=np.asarray(tok.encode(text), dtype=np.int32)))
+        return out
+
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=2, frac=1.0, local_ep=1, batch_size=2,
+        time_multiple=3200, warmup_steps=1)
+    eng = FederatedEngine(cfg, fcfg, {0: mk(4, 1), 1: mk(4, 2)},
+                          mk(4, 3), None, tok, params)
+    before = jax.tree.map(np.array, eng.global_params)
+    after = eng.run_rounds(stage=0, num_rounds=1)
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = [np.asarray(x) for x in jax.tree_util.tree_leaves(after)]
+    assert all(np.isfinite(x).all() for x in flat_a)
+    assert any(not np.allclose(b, a) for b, a in zip(flat_b, flat_a))
+
+
 def test_serving_engine_int8_smoke():
     from privacy_preserve_federated_asr_tpu.serving import (
         InferenceEngine,
