@@ -310,6 +310,7 @@ def cmd_federated(args):
         cache_encoder=False if args.no_cache_encoder else None,
         dp_clip_norm=args.dp_clip_norm,
         dp_noise_multiplier=args.dp_noise_multiplier,
+        compress_bits=args.compress_bits,
         round_save_dir=args.round_save_dir)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
@@ -724,6 +725,11 @@ def main(argv=None):
     p.add_argument("--dp_clip_norm", type=float, default=None,
                    help="DP-FedAvg: clip client update deltas to this L2 "
                         "norm (off when unset; beyond the reference)")
+    p.add_argument("--compress_bits", type=int, default=None,
+                   help="uplink compression: quantize each client's round "
+                        "delta to this many bits (symmetric abs-max, "
+                        "stochastic rounding) before FedAvg; exclusive "
+                        "with --dp_clip_norm")
     p.add_argument("--dp_noise_multiplier", type=float, default=0.0,
                    help="DP-FedAvg: Gaussian noise std = clip * this / K")
     p.add_argument("--round_save_dir", default=None,

@@ -134,6 +134,13 @@ class FederatedConfig:
     # Unweighted aggregation only (uniform-contribution DP accounting).
     dp_clip_norm: float | None = None
     dp_noise_multiplier: float = 0.0
+    # Uplink compression (parallel/fed.py compressed_delta_fedavg; beyond
+    # the reference): quantize each client's round delta to this many bits
+    # (symmetric abs-max, stochastic rounding) before aggregation. None =
+    # off. Mutually exclusive with DP-FedAvg (clip-then-quantize ordering
+    # is an accounting decision the caller must make explicitly).
+    compress_bits: int | None = None
+    compress_stochastic_rounding: bool = True
     # Round-level checkpointing: save the global params after every
     # ``round_save_every``-th round under ``<round_save_dir>/round-N`` and
     # resume from the newest matching-stage checkpoint on the next
@@ -146,6 +153,12 @@ class FederatedConfig:
     round_save_limit: int = 2       # like the reference's save_total_limit
 
     def __post_init__(self):
+        if self.compress_bits is not None and self.dp_clip_norm is not None:
+            raise ValueError(
+                "compress_bits and dp_clip_norm are mutually exclusive: "
+                "quantize-before-clip vs clip-before-quantize changes the DP "
+                "guarantee, so the combination must be an explicit choice "
+                "(compose compressed_delta_fedavg/dp_fedavg_stacked directly)")
         if self.dp_noise_multiplier and self.dp_clip_norm is None:
             # noise std is defined as clip * multiplier / K — without a clip
             # norm there is no DP at all; silently running plain FedAvg
@@ -594,6 +607,15 @@ class FederatedEngine:
                 avg = dp_fedavg_stacked(new_params, global_params,
                                         f.dp_clip_norm,
                                         f.dp_noise_multiplier, dp_rng)
+            elif f.compress_bits is not None:
+                from ..parallel.fed import compressed_delta_fedavg
+
+                q_rng = (jax.random.fold_in(rngs[0], 0xC0)
+                         if f.compress_stochastic_rounding else None)
+                weights = sample_counts if f.fedavg_weighted else None
+                avg = compressed_delta_fedavg(
+                    new_params, global_params, bits=f.compress_bits,
+                    rng=q_rng, weights=weights)
             else:
                 weights = sample_counts if f.fedavg_weighted else None
                 avg = fedavg_stacked(new_params, weights)

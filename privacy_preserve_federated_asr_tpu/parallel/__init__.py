@@ -1,8 +1,9 @@
-from .mesh import make_mesh, shard_leading_axis, replicated
+from .mesh import make_mesh, make_multislice_mesh, shard_leading_axis, replicated
 from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
 from .fed import (
     NETWORKS,
     average_weights,
+    compressed_delta_fedavg,
     dp_fedavg_stacked,
     fedavg_stacked,
     graft_network,
@@ -12,6 +13,8 @@ from .fed import (
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
+    "compressed_delta_fedavg",
     "shard_leading_axis",
     "replicated",
     "tp_partition_spec",

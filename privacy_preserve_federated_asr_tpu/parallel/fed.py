@@ -86,6 +86,74 @@ def fedavg_stacked(
     return jax.tree.map(wmean, stacked_params)
 
 
+def compressed_delta_fedavg(
+    stacked_params: Any,
+    global_params: Any,
+    bits: int = 8,
+    rng: jax.Array | None = None,
+    weights: jax.Array | None = None,
+) -> Any:
+    """FedAvg over int-quantized client update deltas.
+
+    Models the standard FL uplink-compression recipe (Konečný et al. 2016;
+    in deployment the client would transmit the int payload): each client's
+    round delta ``params_k - global`` is quantized per-leaf to ``bits``-bit
+    signed integers with a symmetric abs-max scale, dequantized, and
+    (optionally weighted) averaged into the global params. With ``rng`` the
+    rounding is stochastic — ``floor(x/s + u), u~U[0,1)`` — which makes the
+    quantizer unbiased, so compression adds zero-mean noise instead of
+    drift; without it rounding is nearest (deterministic).
+
+    On a multi-slice mesh (``make_multislice_mesh``) the FedAvg mean is the
+    only cross-slice (DCN) traffic; expressing aggregation over the int8
+    payload bounds those bytes at 1/4 of fp32. Inside this single-program
+    engine the quantize->dequantize round-trip reproduces the ACCURACY
+    semantics of compressed FL exactly (what determines WER/convergence);
+    the byte saving is realized when the payload crosses a real
+    client-server or DCN boundary.
+
+    Beyond the reference (whose clients exchange full fp32 state_dicts
+    through the filesystem, federated/src/training.py:14-28); composes with
+    the toggling network's representation-level privacy split.
+    """
+    if not 2 <= bits <= 8:
+        raise ValueError(f"bits must be in [2, 8], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    deltas = jax.tree.map(
+        lambda s, g: s.astype(jnp.float32) - g[None].astype(jnp.float32),
+        stacked_params, global_params)
+    flat, treedef = jax.tree_util.tree_flatten(deltas)
+    keys = (jax.random.split(rng, len(flat)) if rng is not None
+            else [None] * len(flat))
+
+    def quantize_roundtrip(d, key):
+        axes = tuple(range(1, d.ndim))                       # per-client scale
+        amax = jnp.max(jnp.abs(d), axis=axes, keepdims=True)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        x = d / scale
+        if key is None:
+            q = jnp.round(x)
+        else:
+            q = jnp.floor(x + jax.random.uniform(key, x.shape))
+        q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)        # the wire payload
+        return q.astype(jnp.float32) * scale
+
+    deq = jax.tree_util.tree_unflatten(
+        treedef, [quantize_roundtrip(d, k) for d, k in zip(flat, keys)])
+    if weights is None:
+        mean = jax.tree.map(lambda d: jnp.mean(d, axis=0), deq)
+    else:
+        w = weights / jnp.sum(weights)
+
+        def wmean(d):
+            return jnp.sum(d * w.reshape((-1,) + (1,) * (d.ndim - 1)), axis=0)
+
+        mean = jax.tree.map(wmean, deq)
+    return jax.tree.map(
+        lambda g, m: (g.astype(jnp.float32) + m).astype(g.dtype),
+        global_params, mean)
+
+
 def dp_fedavg_stacked(
     stacked_params: Any,
     global_params: Any,
