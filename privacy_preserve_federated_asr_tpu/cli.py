@@ -311,6 +311,9 @@ def cmd_federated(args):
         dp_clip_norm=args.dp_clip_norm,
         dp_noise_multiplier=args.dp_noise_multiplier,
         compress_bits=args.compress_bits,
+        fedprox_mu=args.fedprox_mu,
+        server_optimizer=args.server_optimizer,
+        server_lr=args.server_lr, server_momentum=args.server_momentum,
         round_save_dir=args.round_save_dir)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
@@ -725,6 +728,15 @@ def main(argv=None):
     p.add_argument("--dp_clip_norm", type=float, default=None,
                    help="DP-FedAvg: clip client update deltas to this L2 "
                         "norm (off when unset; beyond the reference)")
+    p.add_argument("--fedprox_mu", type=float, default=0.0,
+                   help="FedProx proximal coefficient on the local "
+                        "objective (0 = reference FedAvg semantics)")
+    p.add_argument("--server_optimizer", default="none",
+                   choices=["none", "momentum", "adam"],
+                   help="FedOpt server optimizer applied to the aggregated "
+                        "round delta (none = reference FedAvg)")
+    p.add_argument("--server_lr", type=float, default=1.0)
+    p.add_argument("--server_momentum", type=float, default=0.9)
     p.add_argument("--compress_bits", type=int, default=None,
                    help="uplink compression: quantize each client's round "
                         "delta to this many bits (symmetric abs-max, "

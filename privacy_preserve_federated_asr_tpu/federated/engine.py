@@ -141,6 +141,21 @@ class FederatedConfig:
     # is an accounting decision the caller must make explicitly).
     compress_bits: int | None = None
     compress_stochastic_rounding: bool = True
+    # FedProx (Li et al. 2020; beyond the reference): proximal pull
+    # (mu/2)||w - w_round_start||^2 on each client's local objective —
+    # damps client drift on non-IID speaker partitions. 0 = off (exact
+    # reference FedAvg semantics).
+    fedprox_mu: float = 0.0
+    # Server optimizer (FedOpt, Reddi et al. 2021; beyond the reference):
+    # treat the aggregated round delta as a pseudo-gradient and apply a
+    # server-side optimizer step instead of plain assignment.
+    # "none" = reference FedAvg; "momentum" = FedAvgM (SGD with
+    # server_momentum); "adam" = FedAdam. Server state lives on the engine
+    # per stage and is NOT part of round checkpoints (a resumed run
+    # restarts momentum — params are unaffected).
+    server_optimizer: str = "none"
+    server_lr: float = 1.0
+    server_momentum: float = 0.9
     # Round-level checkpointing: save the global params after every
     # ``round_save_every``-th round under ``<round_save_dir>/round-N`` and
     # resume from the newest matching-stage checkpoint on the next
@@ -153,6 +168,10 @@ class FederatedConfig:
     round_save_limit: int = 2       # like the reference's save_total_limit
 
     def __post_init__(self):
+        if self.server_optimizer not in ("none", "momentum", "adam"):
+            raise ValueError(
+                f"server_optimizer must be none|momentum|adam, got "
+                f"{self.server_optimizer!r}")
         if self.compress_bits is not None and self.dp_clip_norm is not None:
             raise ValueError(
                 "compress_bits and dp_clip_norm are mutually exclusive: "
@@ -210,6 +229,8 @@ class FederatedEngine:
         self._round_hidden: dict = {}
         self._hidden_over_budget: set = set()  # sources too big to cache
         self._hidden_cache_fn = None  # persistent jitted backbone forward
+        # stage -> FedOpt server-optimizer state (fcfg.server_optimizer)
+        self._server_opt_states: dict[int, Any] = {}
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -518,7 +539,7 @@ class FederatedEngine:
                 mt_shape if kind == "mt" else base_shape,
                 stage=stage, learning_rate=f.learning_rate,
                 weight_decay=f.weight_decay, warmup_steps=f.warmup_steps,
-                total_steps=max(steps, 1),
+                total_steps=max(steps, 1), fedprox_mu=f.fedprox_mu,
             )
             txs.append(tx)
             if kind == "mt":
@@ -574,7 +595,10 @@ class FederatedEngine:
                 losses.append(phase_losses)
             return params, jnp.concatenate(losses)
 
-        def round_fn(global_params, stacked_phases, rngs, sample_counts):
+        server_tx = self._server_tx()
+
+        def round_fn(global_params, stacked_phases, rngs, sample_counts,
+                     server_opt_state):
             k = rngs.shape[0]
             per_client = []
             for (kind, _), ph in zip(phase_specs, stacked_phases):
@@ -620,11 +644,47 @@ class FederatedEngine:
                 weights = sample_counts if f.fedavg_weighted else None
                 avg = fedavg_stacked(new_params, weights)
             new_global = graft_network(global_params, avg, network)
-            return new_global, jnp.mean(losses, axis=1)
+            if server_tx is not None:
+                # FedOpt: the round delta is a pseudo-gradient (negated —
+                # optimizers descend) for the server optimizer
+                import optax
+
+                delta = jax.tree.map(
+                    lambda c, g: c.astype(jnp.float32) - g.astype(jnp.float32),
+                    new_global, global_params)
+                updates, server_opt_state = server_tx.update(
+                    jax.tree.map(jnp.negative, delta), server_opt_state)
+                new_global = optax.apply_updates(global_params, updates)
+            return new_global, server_opt_state, jnp.mean(losses, axis=1)
 
         jitted = jax.jit(round_fn)
         self._round_fns[key] = jitted
         return jitted
+
+    def _server_tx(self):
+        """The FedOpt server optimizer (or None for reference FedAvg)."""
+        import optax
+
+        f = self.fcfg
+        if f.server_optimizer == "none":
+            return None
+        if f.server_optimizer == "momentum":
+            return optax.sgd(f.server_lr, momentum=f.server_momentum or None)
+        return optax.adam(f.server_lr)
+
+    def _server_opt_state(self, stage: int):
+        """Per-stage server optimizer state, initialized lazily on the fp32
+        global params (each stage aggregates a different sub-network, so
+        momentum must not leak across stages)."""
+        tx = self._server_tx()
+        if tx is None:
+            return None
+        st = self._server_opt_states.get(stage)
+        if st is None:
+            st = tx.init(jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), self.global_params))
+            self._server_opt_states[stage] = st
+        return st
 
     def _place_round_inputs(self, params, batches, rngs, counts):
         """With a mesh: shard the client axis of batches/rngs over the
@@ -785,7 +845,12 @@ class FederatedEngine:
             counts = jnp.asarray(
                 [len(self.client_examples[c]) for c in cids], dtype=jnp.float32)
             placed = self._place_round_inputs(self.global_params, phases, rngs, counts)
-            self.global_params, losses = round_fn(*placed)
+            sstate = self._server_opt_state(stage)
+            if sstate is not None and f.mesh is not None:
+                sstate = jax.device_put(sstate, NamedSharding(f.mesh, P()))
+            self.global_params, sstate, losses = round_fn(*placed, sstate)
+            if sstate is not None:
+                self._server_opt_states[stage] = sstate
             self.logger.log({
                 "fl_round": rnd + 1, "stage": stage,
                 "clients": ",".join(str(c) for c in cids),

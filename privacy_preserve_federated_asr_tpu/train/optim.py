@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 STAGE_LRS = {0: 1e-5, 1: 1e-4, 2: 1e-3}
@@ -82,6 +83,33 @@ def make_lr_schedule(
     )
 
 
+def proximal_term(mu: float) -> optax.GradientTransformation:
+    """FedProx (Li et al. 2020): augment the local objective with
+    ``(mu/2) * ||w - w_ref||^2`` by adding ``mu * (w - w_ref)`` to the
+    gradient, where ``w_ref`` is the parameter snapshot taken at optimizer
+    ``init``. The federated engine creates a fresh optimizer per round
+    phase starting from the broadcast global params, so the reference point
+    is exactly FedProx's round-start global model — the proximal pull damps
+    client drift on non-IID speaker partitions. Chain this BEFORE gradient
+    clipping (the proximal gradient is part of the local objective).
+    """
+
+    def init(params):
+        # under multi_transform the frozen partition arrives as MaskedNode
+        # subtrees (no leaves), so the snapshot holds trainable leaves only
+        return jax.tree.map(jnp.asarray, params)
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("proximal_term requires params")
+        updates = jax.tree.map(
+            lambda g, w, r: g + mu * (w.astype(g.dtype) - r.astype(g.dtype)),
+            updates, params, state)
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     params_shape,
     stage: int,
@@ -94,11 +122,14 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     trainable_pred: Callable[[tuple[str, ...]], bool] | None = None,
+    fedprox_mu: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW with stage masking, decay masking, and global-norm clipping.
 
     ``trainable_pred`` overrides the DACS stage predicate (used by the
     single-toggle / FSM variant recipes, models/variants.py).
+    ``fedprox_mu > 0`` prepends the FedProx proximal term (trainable
+    partition only; the reference point is the init-time params).
     """
     if learning_rate is None:
         learning_rate = make_lr_schedule(
@@ -117,11 +148,13 @@ def make_optimizer(
         return jax.tree_util.tree_map_with_path(
             lambda p, _: not _no_weight_decay(_path_strings(p)), params)
 
-    adam = optax.chain(
+    parts = [proximal_term(fedprox_mu)] if fedprox_mu else []
+    parts += [
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
                     weight_decay=weight_decay, mask=wd_mask_fn),
-    )
+    ]
+    adam = optax.chain(*parts)
     # multi_transform keeps Adam moments (and their per-step HBM traffic)
     # ONLY for the trainable partition — in stages 1/2 that shrinks the
     # optimizer pass from the full ~315M-param tree to the small head.
