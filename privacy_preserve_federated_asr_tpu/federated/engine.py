@@ -151,8 +151,8 @@ class FederatedConfig:
     # server-side optimizer step instead of plain assignment.
     # "none" = reference FedAvg; "momentum" = FedAvgM (SGD with
     # server_momentum); "adam" = FedAdam. Server state lives on the engine
-    # per stage and is NOT part of round checkpoints (a resumed run
-    # restarts momentum — params are unaffected).
+    # per stage; with round_save_dir it is checkpointed alongside each
+    # round ("...-server") so resume is exact.
     server_optimizer: str = "none"
     server_lr: float = 1.0
     server_momentum: float = 0.9
@@ -778,9 +778,16 @@ class FederatedEngine:
 
         save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}",
                     self.global_params, {"stage": stage, "round": rnd})
+        sstate = self._server_opt_states.get(stage)
+        if sstate is not None:
+            save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}-server",
+                        jax.device_get(sstate))
         ckpts = self._round_ckpts(stage)
         for _, p in ckpts[: max(0, len(ckpts) - f.round_save_limit)]:
             shutil.rmtree(p)
+            srv = p.with_name(p.name + "-server")
+            if srv.exists():
+                shutil.rmtree(srv)
 
     def _maybe_resume_rounds(self, stage: int) -> int:
         """Load this stage's newest round checkpoint (if configured);
@@ -795,6 +802,13 @@ class FederatedEngine:
             return 0
         rnd, p = ckpts[-1]
         self.global_params = load_params(str(p))
+        srv = p.with_name(p.name + "-server")
+        tx = self._server_tx()
+        if tx is not None and srv.exists():
+            template = tx.init(jax.tree.map(
+                lambda x: jnp.asarray(x, jnp.float32), self.global_params))
+            self._server_opt_states[stage] = load_params(
+                str(srv), template=template)
         self.logger.log({"fl_resume_round": rnd, "stage": stage})
         return rnd
 

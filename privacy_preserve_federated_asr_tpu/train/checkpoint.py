@@ -113,6 +113,11 @@ def save_params(path: str, params: Any, metadata: dict | None = None) -> None:
         (p / "metadata.json").write_text(json.dumps(metadata))
 
 
-def load_params(path: str) -> Any:
+def load_params(path: str, template: Any = None) -> Any:
+    """``template``: target-structure pytree (needed for optax NamedTuple
+    states, which orbax otherwise returns as plain dicts)."""
     with ocp.StandardCheckpointer() as ckpt:
-        return ckpt.restore(Path(path).absolute())
+        if template is None:
+            return ckpt.restore(Path(path).absolute())
+        return ckpt.restore(Path(path).absolute(),
+                            jax.tree.map(np.asarray, template))

@@ -146,6 +146,37 @@ def test_server_adam_round_touches_only_stage_network():
                                   np.asarray(before["lm_head"]["kernel"]))
 
 
+def test_server_state_checkpoint_resume(tmp_path):
+    """FedAvgM resume must be exact: the server momentum is checkpointed
+    with each round, so re-running round 2 from a round-1 checkpoint
+    reproduces the straight-through 2-round result (without the restore,
+    round 2 would restart momentum from zero and diverge)."""
+    import shutil
+
+    d = str(tmp_path / "rounds")
+
+    def eng():
+        e = _engine(seed=0)
+        e.fcfg = dataclasses.replace(
+            e.fcfg, server_optimizer="momentum", server_lr=1.0,
+            server_momentum=0.9, round_save_dir=d, num_rounds=2)
+        return e
+
+    e1 = eng()
+    e1.run_rounds(stage=2, num_rounds=2)
+    assert (tmp_path / "rounds" / "stage2-round-2-server").exists()
+
+    shutil.rmtree(tmp_path / "rounds" / "stage2-round-2")
+    shutil.rmtree(tmp_path / "rounds" / "stage2-round-2-server")
+    e2 = eng()
+    e2.run_rounds(stage=2, num_rounds=2)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-6, atol=1e-7),
+        e1.global_params, e2.global_params)
+
+
 def test_server_optimizer_name_validated():
     with pytest.raises(ValueError, match="server_optimizer"):
         FederatedConfig(server_optimizer="yogi")
