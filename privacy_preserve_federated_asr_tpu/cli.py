@@ -735,7 +735,10 @@ def main(argv=None):
                    choices=["none", "momentum", "adam"],
                    help="FedOpt server optimizer applied to the aggregated "
                         "round delta (none = reference FedAvg)")
-    p.add_argument("--server_lr", type=float, default=1.0)
+    p.add_argument("--server_lr", type=float, default=None,
+                   help="server step size; default 1.0 for momentum "
+                        "(pure FedAvgM), 1e-2 for adam (Adam normalizes "
+                        "the pseudo-gradient, so lr is the step size)")
     p.add_argument("--server_momentum", type=float, default=0.9)
     p.add_argument("--compress_bits", type=int, default=None,
                    help="uplink compression: quantize each client's round "

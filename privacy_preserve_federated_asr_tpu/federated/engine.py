@@ -154,7 +154,11 @@ class FederatedConfig:
     # per stage; with round_save_dir it is checkpointed alongside each
     # round ("...-server") so resume is exact.
     server_optimizer: str = "none"
-    server_lr: float = 1.0
+    # None -> per-optimizer default: 1.0 for momentum (pure FedAvgM — the
+    # whole delta applies), 1e-2 for adam (Adam normalizes the pseudo-
+    # gradient to ~unit magnitude, so lr IS the per-round step size; 1.0
+    # would step every weight by ~±1 and wreck the model)
+    server_lr: float | None = None
     server_momentum: float = 0.9
     # Round-level checkpointing: save the global params after every
     # ``round_save_every``-th round under ``<round_save_dir>/round-N`` and
@@ -172,6 +176,11 @@ class FederatedConfig:
             raise ValueError(
                 f"server_optimizer must be none|momentum|adam, got "
                 f"{self.server_optimizer!r}")
+        if self.compress_bits is not None and not 2 <= self.compress_bits <= 8:
+            # fail here, not at first-round trace time (after minutes of
+            # data staging / hidden-cache builds at production shapes)
+            raise ValueError(
+                f"compress_bits must be in [2, 8], got {self.compress_bits}")
         if self.compress_bits is not None and self.dp_clip_norm is not None:
             raise ValueError(
                 "compress_bits and dp_clip_norm are mutually exclusive: "
@@ -550,15 +559,23 @@ class FederatedEngine:
                 steps_fns.append(make_train_step(model, tx, cfg))
 
         def local_train(params, phase_batches, rng):
+            # FedProx anchor: the ROUND-START global params for every phase
+            # (a later phase must not re-anchor on the previous phase's
+            # output — the proximal pull damps drift from the broadcast
+            # global). Optimizer init values only matter for the proximal
+            # snapshot; Adam moments are zeros regardless.
+            round_start = params
             losses = []
             for (kind, _), tx, train_step, batches in zip(
                     phase_specs, txs, steps_fns, phase_batches):
                 rng, sub = jax.random.split(rng)
                 p = (init_lm_heads_from_lm_head(params, n_lms)
                      if kind == "mt" else params)
+                p_anchor = (init_lm_heads_from_lm_head(round_start, n_lms)
+                            if kind == "mt" else round_start)
                 state = DACSTrainState(
                     step=jnp.zeros((), jnp.int32), params=p,
-                    opt_state=tx.init(p), rng=sub)
+                    opt_state=tx.init(p_anchor), rng=sub)
 
                 if kind == "res":
                     # device-resident data: scan over index rows, gather
@@ -595,7 +612,7 @@ class FederatedEngine:
                 losses.append(phase_losses)
             return params, jnp.concatenate(losses)
 
-        server_tx = self._server_tx()
+        server_tx = self._server_tx(stage)
 
         def round_fn(global_params, stacked_phases, rngs, sample_counts,
                      server_opt_state):
@@ -661,28 +678,44 @@ class FederatedEngine:
         self._round_fns[key] = jitted
         return jitted
 
-    def _server_tx(self):
-        """The FedOpt server optimizer (or None for reference FedAvg)."""
+    def _server_tx(self, stage: int):
+        """The FedOpt server optimizer (or None for reference FedAvg),
+        masked to the stage's aggregated sub-network: only those leaves
+        carry nonzero deltas (graft keeps the rest bit-identical), so the
+        optimizer state (momenta) covers just that subtree — no full-tree
+        fp32 moments in HBM or in round checkpoints."""
         import optax
+
+        from ..parallel.fed import network_mask
 
         f = self.fcfg
         if f.server_optimizer == "none":
             return None
         if f.server_optimizer == "momentum":
-            return optax.sgd(f.server_lr, momentum=f.server_momentum or None)
-        return optax.adam(f.server_lr)
+            lr = 1.0 if f.server_lr is None else f.server_lr
+            inner = optax.sgd(lr, momentum=f.server_momentum or None)
+        else:
+            lr = 1e-2 if f.server_lr is None else f.server_lr
+            inner = optax.adam(lr)
+        network = STAGE_NETWORK[stage]
+        # masked-out leaves pass their update through unchanged — safe:
+        # their pseudo-gradient is exactly zero
+        return optax.masked(inner, lambda params: network_mask(params, network))
+
+    def _init_server_state(self, stage: int):
+        tx = self._server_tx(stage)
+        return tx.init(jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32), self.global_params))
 
     def _server_opt_state(self, stage: int):
-        """Per-stage server optimizer state, initialized lazily on the fp32
-        global params (each stage aggregates a different sub-network, so
-        momentum must not leak across stages)."""
-        tx = self._server_tx()
-        if tx is None:
+        """Per-stage server optimizer state, initialized lazily (each stage
+        aggregates a different sub-network, so momentum must not leak
+        across stages)."""
+        if self._server_tx(stage) is None:
             return None
         st = self._server_opt_states.get(stage)
         if st is None:
-            st = tx.init(jax.tree.map(
-                lambda x: jnp.asarray(x, jnp.float32), self.global_params))
+            st = self._init_server_state(stage)
             self._server_opt_states[stage] = st
         return st
 
@@ -802,13 +835,19 @@ class FederatedEngine:
             return 0
         rnd, p = ckpts[-1]
         self.global_params = load_params(str(p))
-        srv = p.with_name(p.name + "-server")
-        tx = self._server_tx()
-        if tx is not None and srv.exists():
-            template = tx.init(jax.tree.map(
-                lambda x: jnp.asarray(x, jnp.float32), self.global_params))
-            self._server_opt_states[stage] = load_params(
-                str(srv), template=template)
+        if self._server_tx(stage) is not None:
+            srv = p.with_name(p.name + "-server")
+            if srv.exists():
+                self._server_opt_states[stage] = load_params(
+                    str(srv), template=self._init_server_state(stage))
+            else:
+                # resuming without the momentum makes the continued run
+                # differ from the straight-through one — say so loudly
+                print(f"[engine] round checkpoint {p.name} has no "
+                      f"'-server' sibling; {self.fcfg.server_optimizer} "
+                      "server state restarts from zero (resume is inexact)")
+                self.logger.log({"fl_resume_server_state_missing": 1.0,
+                                 "stage": stage})
         self.logger.log({"fl_resume_round": rnd, "stage": stage})
         return rnd
 

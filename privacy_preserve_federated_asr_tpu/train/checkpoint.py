@@ -119,5 +119,4 @@ def load_params(path: str, template: Any = None) -> Any:
     with ocp.StandardCheckpointer() as ckpt:
         if template is None:
             return ckpt.restore(Path(path).absolute())
-        return ckpt.restore(Path(path).absolute(),
-                            jax.tree.map(np.asarray, template))
+        return ckpt.restore(Path(path).absolute(), _as_numpy(template))

@@ -180,3 +180,37 @@ def test_server_state_checkpoint_resume(tmp_path):
 def test_server_optimizer_name_validated():
     with pytest.raises(ValueError, match="server_optimizer"):
         FederatedConfig(server_optimizer="yogi")
+
+
+def test_server_state_masked_to_stage_network():
+    """The server optimizer state must cover only the stage's aggregated
+    sub-network (the rest of the tree has identically-zero deltas) — no
+    full-tree fp32 moments."""
+    eng = _engine(seed=0)
+    eng.fcfg = dataclasses.replace(eng.fcfg, server_optimizer="adam")
+    st = eng._server_opt_state(2)
+    n_arb = len(jax.tree_util.tree_leaves(eng.global_params["arbitrator"]))
+    n_total = len(jax.tree_util.tree_leaves(eng.global_params))
+    assert n_total > n_arb
+    # adam: mu + nu per masked-in leaf, + the count scalar
+    assert len(jax.tree_util.tree_leaves(st)) == 2 * n_arb + 1
+
+
+def test_server_adam_default_lr_caps_the_step():
+    """FedAdam's default server_lr must be the moderate per-optimizer
+    default (1e-2), not momentum's 1.0 — Adam normalizes the pseudo-
+    gradient, so the first-round step is ~lr per coordinate."""
+    eng = _engine(seed=0)
+    eng.fcfg = dataclasses.replace(eng.fcfg, server_optimizer="adam")
+    before = np.asarray(eng.global_params["arbitrator"]["kernel"], np.float32)
+    eng.run_rounds(stage=2, num_rounds=1)
+    after = np.asarray(eng.global_params["arbitrator"]["kernel"], np.float32)
+    step = np.abs(after - before).max()
+    assert 0 < step <= 0.0101, step
+
+
+def test_compress_bits_validated_in_config():
+    with pytest.raises(ValueError, match="compress_bits"):
+        FederatedConfig(compress_bits=16)
+    with pytest.raises(ValueError, match="compress_bits"):
+        FederatedConfig(compress_bits=1)
