@@ -263,6 +263,20 @@ def cmd_federated(args):
     from .federated import FederatedConfig, FederatedEngine
     from .train.checkpoint import save_params
 
+    mesh = None
+    if args.client_mesh > 1:
+        from .parallel import make_mesh, make_multislice_mesh
+
+        if args.num_slices:
+            mesh = make_multislice_mesh(client=args.client_mesh,
+                                        data=args.data_mesh,
+                                        num_slices=args.num_slices)
+        else:
+            mesh = make_mesh(client=args.client_mesh, data=args.data_mesh)
+        print(f"[federated] device mesh: client={args.client_mesh} x "
+              f"data={args.data_mesh}"
+              + (f" over {args.num_slices} slices" if args.num_slices else ""))
+
     cfg = _dacs_cfg(args)
     train_exs, tok = _load_examples(args, args.train_csv)
     test_exs, _ = _load_examples(args, args.test_csv)
@@ -314,7 +328,7 @@ def cmd_federated(args):
         fedprox_mu=args.fedprox_mu,
         server_optimizer=args.server_optimizer,
         server_lr=args.server_lr, server_momentum=args.server_momentum,
-        round_save_dir=args.round_save_dir)
+        round_save_dir=args.round_save_dir, mesh=mesh)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -728,6 +742,17 @@ def main(argv=None):
     p.add_argument("--dp_clip_norm", type=float, default=None,
                    help="DP-FedAvg: clip client update deltas to this L2 "
                         "norm (off when unset; beyond the reference)")
+    p.add_argument("--client_mesh", type=int, default=1,
+                   help="shard the FL client axis over this many devices "
+                        "(requires client_mesh x data_mesh devices); 1 = "
+                        "single-device engine")
+    p.add_argument("--data_mesh", type=int, default=1,
+                   help="per-client data-parallel devices (the 'data' mesh "
+                        "axis)")
+    p.add_argument("--num_slices", type=int, default=0,
+                   help="lay the mesh out slice-aware (make_multislice_mesh)"
+                        ": clients spread across this many ICI slices, "
+                        "FedAvg the only DCN traffic; 0 = flat mesh")
     p.add_argument("--fedprox_mu", type=float, default=0.0,
                    help="FedProx proximal coefficient on the local "
                         "objective (0 = reference FedAvg semantics)")

@@ -93,6 +93,20 @@ def test_cli_federated_smoke(data_dir, tmp_path, capsys):
     assert "eval_wer" in out
 
 
+def test_cli_federated_multislice_mesh(data_dir, tmp_path, capsys):
+    """--client_mesh/--data_mesh/--num_slices build the slice-aware device
+    mesh and the jitted rounds execute on it (8 virtual CPU devices)."""
+    main(["federated", "-fl_st", "3", "--epochs", "1", "--num_users", "2",
+          "--local_ep", "1", "--global_ep", "1",
+          "--client_mesh", "2", "--data_mesh", "4", "--num_slices", "2",
+          "--compress_bits", "8", "--server_optimizer", "momentum",
+          "-model_out", str(tmp_path / "flmesh"), "-log", "fl_mesh.txt",
+          *_common(data_dir, tmp_path)])
+    out = capsys.readouterr().out
+    assert "device mesh: client=2 x data=4 over 2 slices" in out
+    assert "eval_wer" in out
+
+
 def test_cli_federated_multitask_semi_supervised(data_dir, tmp_path, capsys):
     """The reference's --num_lms N-best semi-supervised FL flow
     (federated_main.py --supervised_level 0.5, ASRLocalUpdate_Multitask)
