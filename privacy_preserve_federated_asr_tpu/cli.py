@@ -264,7 +264,7 @@ def cmd_federated(args):
     from .train.checkpoint import save_params
 
     mesh = None
-    if args.client_mesh > 1:
+    if args.client_mesh > 1 or args.data_mesh > 1:
         from .parallel import make_mesh, make_multislice_mesh
 
         if args.num_slices:
