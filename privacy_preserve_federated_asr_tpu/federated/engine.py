@@ -141,6 +141,21 @@ class FederatedConfig:
     # is an accounting decision the caller must make explicitly).
     compress_bits: int | None = None
     compress_stochastic_rounding: bool = True
+    # Secure aggregation (parallel/fed.py secure_aggregate_fedavg; beyond
+    # the reference): each client's round delta is L2-clipped to
+    # ``secagg_clip_norm`` (the public fixed-point grid), quantized to
+    # ``secagg_bits``-bit integers and pairwise-masked; the server only ever
+    # sums masked int32 payloads — the masks cancel exactly. None = off.
+    # Unweighted (uniform contributions), like DP-FedAvg.
+    secagg_clip_norm: float | None = None
+    secagg_bits: int = 20
+    # Top-k sparsified FedAvg with error feedback (parallel/fed.py
+    # topk_delta_fedavg; beyond the reference): per round each client
+    # uploads only this fraction of its delta's coordinates (largest
+    # magnitude); the untransmitted remainder accumulates in a per-client
+    # residual and rides a later round. Residuals live on the engine per
+    # stage and are checkpointed with rounds ("...-topk"). None = off.
+    topk_fraction: float | None = None
     # FedProx (Li et al. 2020; beyond the reference): proximal pull
     # (mu/2)||w - w_round_start||^2 on each client's local objective —
     # damps client drift on non-IID speaker partitions. 0 = off (exact
@@ -187,6 +202,28 @@ class FederatedConfig:
                 "quantize-before-clip vs clip-before-quantize changes the DP "
                 "guarantee, so the combination must be an explicit choice "
                 "(compose compressed_delta_fedavg/dp_fedavg_stacked directly)")
+        modes = {"dp_clip_norm": self.dp_clip_norm,
+                 "compress_bits": self.compress_bits,
+                 "secagg_clip_norm": self.secagg_clip_norm,
+                 "topk_fraction": self.topk_fraction}
+        on = [k for k, v in modes.items() if v is not None]
+        if len(on) > 1:
+            raise ValueError(
+                f"aggregation modes are mutually exclusive, got {on}; the "
+                "mask/clip/quantize/sparsify ordering of a composition is a "
+                "privacy-accounting decision — compose the parallel/fed.py "
+                "primitives directly if you need one")
+        if self.secagg_clip_norm is not None:
+            if not 2 <= self.secagg_bits <= 24:
+                raise ValueError(
+                    f"secagg_bits must be in [2, 24], got {self.secagg_bits}")
+            if self.fedavg_weighted:
+                raise ValueError(
+                    "secure aggregation is unweighted (per-client sample "
+                    "counts are private); disable fedavg_weighted")
+        if self.topk_fraction is not None and not 0.0 < self.topk_fraction <= 1.0:
+            raise ValueError(
+                f"topk_fraction must be in (0, 1], got {self.topk_fraction}")
         if self.dp_noise_multiplier and self.dp_clip_norm is None:
             # noise std is defined as clip * multiplier / K — without a clip
             # norm there is no DP at all; silently running plain FedAvg
@@ -240,6 +277,10 @@ class FederatedEngine:
         self._hidden_cache_fn = None  # persistent jitted backbone forward
         # stage -> FedOpt server-optimizer state (fcfg.server_optimizer)
         self._server_opt_states: dict[int, Any] = {}
+        # stage -> [K_total, ...] per-client top-k error-feedback residuals
+        # (fcfg.topk_fraction); per stage so one stage's untransmitted
+        # coordinates never ride another stage's uplink
+        self._topk_residuals: dict[int, Any] = {}
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -615,7 +656,7 @@ class FederatedEngine:
         server_tx = self._server_tx(stage)
 
         def round_fn(global_params, stacked_phases, rngs, sample_counts,
-                     server_opt_state):
+                     server_opt_state, agg_state):
             k = rngs.shape[0]
             per_client = []
             for (kind, _), ph in zip(phase_specs, stacked_phases):
@@ -657,6 +698,20 @@ class FederatedEngine:
                 avg = compressed_delta_fedavg(
                     new_params, global_params, bits=f.compress_bits,
                     rng=q_rng, weights=weights)
+            elif f.secagg_clip_norm is not None:
+                from ..parallel.fed import secure_aggregate_fedavg
+
+                sa_rng = jax.random.fold_in(rngs[0], 0x5EC)
+                avg = secure_aggregate_fedavg(
+                    new_params, global_params, f.secagg_clip_norm, sa_rng,
+                    bits=f.secagg_bits)
+            elif f.topk_fraction is not None:
+                from ..parallel.fed import topk_delta_fedavg
+
+                weights = sample_counts if f.fedavg_weighted else None
+                avg, agg_state = topk_delta_fedavg(
+                    new_params, global_params, f.topk_fraction,
+                    residuals=agg_state, weights=weights)
             else:
                 weights = sample_counts if f.fedavg_weighted else None
                 avg = fedavg_stacked(new_params, weights)
@@ -672,7 +727,7 @@ class FederatedEngine:
                 updates, server_opt_state = server_tx.update(
                     jax.tree.map(jnp.negative, delta), server_opt_state)
                 new_global = optax.apply_updates(global_params, updates)
-            return new_global, server_opt_state, jnp.mean(losses, axis=1)
+            return new_global, server_opt_state, agg_state, jnp.mean(losses, axis=1)
 
         jitted = jax.jit(round_fn)
         self._round_fns[key] = jitted
@@ -718,6 +773,20 @@ class FederatedEngine:
             st = self._init_server_state(stage)
             self._server_opt_states[stage] = st
         return st
+
+    def _topk_residuals_for(self, stage: int):
+        """Per-stage error-feedback residuals, zeros-initialized lazily
+        (one fp32 copy of the param tree per client — the algorithm's
+        actual memory cost; opt-in via topk_fraction)."""
+        if self.fcfg.topk_fraction is None:
+            return None
+        res = self._topk_residuals.get(stage)
+        if res is None:
+            res = jax.tree.map(
+                lambda x: jnp.zeros((len(self.client_ids),) + x.shape,
+                                    jnp.float32), self.global_params)
+            self._topk_residuals[stage] = res
+        return res
 
     def _place_round_inputs(self, params, batches, rngs, counts):
         """With a mesh: shard the client axis of batches/rngs over the
@@ -815,12 +884,17 @@ class FederatedEngine:
         if sstate is not None:
             save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}-server",
                         jax.device_get(sstate))
+        res = self._topk_residuals.get(stage)
+        if res is not None:
+            save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}-topk",
+                        jax.device_get(res))
         ckpts = self._round_ckpts(stage)
         for _, p in ckpts[: max(0, len(ckpts) - f.round_save_limit)]:
             shutil.rmtree(p)
-            srv = p.with_name(p.name + "-server")
-            if srv.exists():
-                shutil.rmtree(srv)
+            for suffix in ("-server", "-topk"):
+                sib = p.with_name(p.name + suffix)
+                if sib.exists():
+                    shutil.rmtree(sib)
 
     def _maybe_resume_rounds(self, stage: int) -> int:
         """Load this stage's newest round checkpoint (if configured);
@@ -901,9 +975,26 @@ class FederatedEngine:
             sstate = self._server_opt_state(stage)
             if sstate is not None and f.mesh is not None:
                 sstate = jax.device_put(sstate, NamedSharding(f.mesh, P()))
-            self.global_params, sstate, losses = round_fn(*placed, sstate)
+            res_all = self._topk_residuals_for(stage)
+            if res_all is None:
+                agg_sel = pos = None
+            else:
+                # residuals are per client ID; the round sees the sampled
+                # clients' rows in sample order, scattered back afterwards
+                pos = jnp.asarray(
+                    [self.client_ids.index(c) for c in cids], jnp.int32)
+                agg_sel = jax.tree.map(lambda x: x[pos], res_all)
+                if f.mesh is not None:
+                    agg_sel = jax.device_put(
+                        agg_sel, NamedSharding(f.mesh, P("client")))
+            self.global_params, sstate, agg_sel, losses = round_fn(
+                *placed, sstate, agg_sel)
             if sstate is not None:
                 self._server_opt_states[stage] = sstate
+            if res_all is not None:
+                self._topk_residuals[stage] = jax.tree.map(
+                    lambda r, s: r.at[pos].set(s.astype(jnp.float32)),
+                    res_all, agg_sel)
             self.logger.log({
                 "fl_round": rnd + 1, "stage": stage,
                 "clients": ",".join(str(c) for c in cids),

@@ -154,6 +154,166 @@ def compressed_delta_fedavg(
         global_params, mean)
 
 
+def _l2_clip_scales(deltas: Any, clip_norm: float) -> jax.Array:
+    """Per-client multipliers min(1, clip/||delta_k||_2) over a stacked
+    delta pytree (leading axis = client)."""
+    leaves = jax.tree.leaves(deltas)
+    sq = sum(jnp.sum(d * d, axis=tuple(range(1, d.ndim))) for d in leaves)
+    norms = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    return jnp.minimum(1.0, clip_norm / norms)
+
+
+def secagg_payloads(
+    stacked_params: Any,
+    global_params: Any,
+    clip_norm: float,
+    rng: jax.Array,
+    bits: int = 20,
+) -> tuple[Any, float]:
+    """Each client's secure-aggregation wire payload: fixed-point quantized
+    round delta plus pairwise-cancelling masks (Bonawitz et al. 2017,
+    "Practical Secure Aggregation").
+
+    Per client k: the round delta ``params_k - global`` is L2-clipped to
+    ``clip_norm`` (bounds every coordinate, making the fixed-point grid
+    public), quantized to integers on the shared grid ``s = clip_norm /
+    (2^(bits-1) - 1)``, then masked with ``M_k = sum_{j>k} PRG(k,j) -
+    sum_{j<k} PRG(j,k)`` in wrap-around int32 arithmetic. Each pair (i, j)
+    shares one PRG stream (in deployment the seed comes from a DH key
+    agreement; here all streams derive from ``rng``), so ``sum_k M_k == 0``
+    EXACTLY — integer wrap-around, unlike floating point, cancels
+    bit-perfectly — and the server's sum of payloads reveals only the
+    aggregate. An individual payload is statistically uniform over int32
+    (tested): the server learns nothing about any single client's update.
+
+    Returns ``(payloads, scale)``: an int32 pytree stacked over the client
+    axis (the bytes that would cross the wire) and the public dequantization
+    scale.
+    """
+    if not 2 <= bits <= 24:
+        raise ValueError(f"bits must be in [2, 24], got {bits}")
+    deltas = jax.tree.map(
+        lambda s, g: s.astype(jnp.float32) - g[None].astype(jnp.float32),
+        stacked_params, global_params)
+    k = jax.tree.leaves(deltas)[0].shape[0]
+    if k * (2 ** (bits - 1)) >= 2 ** 31:
+        # the server-side wrap-around sum must be able to hold K * qmax
+        # without aliasing back into the valid range
+        raise ValueError(
+            f"bits={bits} leaves no headroom for {k} clients in int32 "
+            f"(need K * 2^(bits-1) < 2^31)")
+    qmax = float(2 ** (bits - 1) - 1)
+    scale = clip_norm / qmax
+    clip = _l2_clip_scales(deltas, clip_norm)
+
+    flat, treedef = jax.tree_util.tree_flatten(deltas)
+    leaf_keys = jax.random.split(rng, len(flat))
+
+    def payload(d, leaf_key):
+        cb = clip.reshape((-1,) + (1,) * (d.ndim - 1))
+        q = jnp.round(d * cb / scale).astype(jnp.int32)         # |q| <= qmax
+        masks = jnp.zeros(d.shape, jnp.int32)
+        for i in range(k):
+            for j in range(i + 1, k):
+                r = jax.random.bits(
+                    jax.random.fold_in(leaf_key, i * k + j),
+                    shape=d.shape[1:], dtype=jnp.uint32).astype(jnp.int32)
+                masks = masks.at[i].add(r).at[j].add(-r)
+        return q + masks                                        # int32 wrap
+
+    return (jax.tree_util.tree_unflatten(
+        treedef, [payload(d, kk) for d, kk in zip(flat, leaf_keys)]), scale)
+
+
+def secure_aggregate_fedavg(
+    stacked_params: Any,
+    global_params: Any,
+    clip_norm: float,
+    rng: jax.Array,
+    bits: int = 20,
+) -> Any:
+    """FedAvg through secure aggregation: the server sums the clients'
+    masked int32 payloads (``secagg_payloads``) — the pairwise masks cancel
+    exactly in wrap-around arithmetic — and dequantizes the mean onto the
+    global params. Equals clipped fixed-point FedAvg bit-for-bit while the
+    server only ever touches masked per-client data.
+
+    Unweighted (uniform contributions, like the DP path); composes with the
+    toggling network's representation-level privacy and is the natural
+    transport for ``dp_fedavg_stacked``-style noise in deployment. Beyond
+    the reference, whose clients exchange raw fp32 state_dicts through the
+    filesystem (federated/src/training.py:14-28).
+    """
+    payloads, scale = secagg_payloads(
+        stacked_params, global_params, clip_norm, rng, bits=bits)
+    k = jax.tree.leaves(payloads)[0].shape[0]
+    mean = jax.tree.map(
+        lambda p: jnp.sum(p, axis=0).astype(jnp.float32) * (scale / k),
+        payloads)
+    return jax.tree.map(
+        lambda g, m: (g.astype(jnp.float32) + m).astype(g.dtype),
+        global_params, mean)
+
+
+def topk_delta_fedavg(
+    stacked_params: Any,
+    global_params: Any,
+    fraction: float,
+    residuals: Any | None = None,
+    weights: jax.Array | None = None,
+) -> tuple[Any, Any]:
+    """FedAvg over top-k-sparsified client deltas with error feedback
+    (Lin et al. 2018 "Deep Gradient Compression"; Stich et al. 2018).
+
+    Per client and per leaf, only the ``fraction`` largest-magnitude
+    coordinates of the error-corrected delta ``(params_k - global) +
+    residual_k`` are transmitted (exactly ``ceil(fraction * n)`` of them,
+    top-k scatter); everything untransmitted accumulates into the client's
+    residual and rides a later round — so sparsification delays small
+    coordinates instead of dropping them, which is what keeps convergence.
+    The uplink payload is ~``fraction`` of the dense delta (indices +
+    values).
+
+    Returns ``(new_global, new_residuals)``; pass each round's residuals
+    into the next (zeros to start, e.g. ``jax.tree.map(lambda x:
+    jnp.zeros((K,) + x.shape, jnp.float32), global_params)``).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    deltas = jax.tree.map(
+        lambda s, g: s.astype(jnp.float32) - g[None].astype(jnp.float32),
+        stacked_params, global_params)
+    if residuals is not None:
+        deltas = jax.tree.map(jnp.add, deltas, residuals)
+
+    def sparsify(d):
+        k_clients = d.shape[0]
+        x = d.reshape(k_clients, -1)
+        n = x.shape[1]
+        kk = max(1, int(-(-fraction * n // 1)))                  # ceil
+        _, idx = jax.lax.top_k(jnp.abs(x), kk)                   # [K, kk]
+        vals = jnp.take_along_axis(x, idx, axis=1)
+        sent = jnp.zeros_like(x).at[
+            jnp.arange(k_clients)[:, None], idx].set(vals)
+        return sent.reshape(d.shape)
+
+    sent = jax.tree.map(sparsify, deltas)
+    new_residuals = jax.tree.map(jnp.subtract, deltas, sent)
+    if weights is None:
+        mean = jax.tree.map(lambda s: jnp.mean(s, axis=0), sent)
+    else:
+        w = weights / jnp.sum(weights)
+
+        def wmean(s):
+            return jnp.sum(s * w.reshape((-1,) + (1,) * (s.ndim - 1)), axis=0)
+
+        mean = jax.tree.map(wmean, sent)
+    new_global = jax.tree.map(
+        lambda g, m: (g.astype(jnp.float32) + m).astype(g.dtype),
+        global_params, mean)
+    return new_global, new_residuals
+
+
 def dp_fedavg_stacked(
     stacked_params: Any,
     global_params: Any,
@@ -178,11 +338,8 @@ def dp_fedavg_stacked(
     deltas = jax.tree.map(
         lambda s, g: (s.astype(jnp.float32) - g[None].astype(jnp.float32)),
         stacked_params, global_params)
-    leaves = jax.tree.leaves(deltas)
-    k = leaves[0].shape[0]
-    sq = sum(jnp.sum(d * d, axis=tuple(range(1, d.ndim))) for d in leaves)
-    norms = jnp.sqrt(jnp.maximum(sq, 1e-24))                       # [K]
-    scale = jnp.minimum(1.0, clip_norm / norms)                    # [K]
+    k = jax.tree.leaves(deltas)[0].shape[0]
+    scale = _l2_clip_scales(deltas, clip_norm)                     # [K]
 
     def clipped_mean(d):
         sb = scale.reshape((-1,) + (1,) * (d.ndim - 1))
