@@ -29,8 +29,11 @@ BATCH = 16
 SECONDS_PER_UTT = 5.0          # ADReSS-like average utterance length
 SAMPLES = int(16000 * SECONDS_PER_UTT)
 LABEL_LEN = 48
-WARMUP_STEPS = 3
-MEASURE_STEPS = 10
+WARMUP_STEPS = 5
+MEASURE_STEPS = 20             # per trial
+TRIALS = 3                     # median of >= 3 trials is the headline
+MAX_TRIALS = 6                 # extra trials when the spread says "noisy"
+SPREAD_RETRY = 0.10            # rel. spread above this -> run another trial
 
 
 def _arm_watchdog(seconds: float) -> None:
@@ -161,19 +164,41 @@ def main() -> None:
     # block_until_ready alone does not flush the execution queue
     float(metrics["loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, metrics = train_step(state, *cache, idx)
-    final_loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final_loss), final_loss
+    # Median of >= TRIALS timed windows, each MEASURE_STEPS steps. One
+    # window is not a measurement on this platform: the chip sits behind a
+    # remote tunnel that flaps and stalls (observed 2026-08-18/19 — the
+    # single-window r02 bench recorded 128.6 utt/s against a 155-167
+    # steady-state), so a slow window must be outvoted, not averaged in.
+    # If the relative spread across trials exceeds SPREAD_RETRY the window
+    # set is judged degraded and extra trials run (up to MAX_TRIALS).
+    def one_trial():
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(MEASURE_STEPS):
+            state, metrics = train_step(state, *cache, idx)
+        loss = float(metrics["loss"])   # sync: flushes the execution queue
+        dt = time.perf_counter() - t0
+        assert np.isfinite(loss), loss
+        return BATCH * MEASURE_STEPS / dt
 
-    utt_per_sec = BATCH * MEASURE_STEPS / dt
+    rates = [one_trial() for _ in range(TRIALS)]
+    def spread(rs):
+        return (max(rs) - min(rs)) / float(np.median(rs))
+    while spread(rates) > SPREAD_RETRY and len(rates) < MAX_TRIALS:
+        print(f"bench: trial spread {spread(rates):.1%} > {SPREAD_RETRY:.0%} "
+              f"({[round(r, 1) for r in rates]}); running another trial",
+              file=__import__("sys").stderr, flush=True)
+        rates.append(one_trial())
+
+    utt_per_sec = float(np.median(rates))
     print(json.dumps({
         "metric": "dacs_stage1_train_throughput_data2vec_large",
         "value": round(utt_per_sec, 3),
         "unit": "utterances/sec/chip",
         "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 3),
+        "trials": [round(r, 3) for r in rates],
+        "spread": round(spread(rates), 4),
+        "steps_per_trial": MEASURE_STEPS,
     }))
 
 

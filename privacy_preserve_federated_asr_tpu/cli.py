@@ -325,6 +325,9 @@ def cmd_federated(args):
         dp_clip_norm=args.dp_clip_norm,
         dp_noise_multiplier=args.dp_noise_multiplier,
         compress_bits=args.compress_bits,
+        secagg_clip_norm=args.secagg_clip_norm,
+        secagg_bits=args.secagg_bits,
+        topk_fraction=args.topk_fraction,
         fedprox_mu=args.fedprox_mu,
         server_optimizer=args.server_optimizer,
         server_lr=args.server_lr, server_momentum=args.server_momentum,
@@ -748,7 +751,11 @@ def main(argv=None):
                         "single-device engine")
     p.add_argument("--data_mesh", type=int, default=1,
                    help="per-client data-parallel devices (the 'data' mesh "
-                        "axis)")
+                        "axis): each client's batch rows are sharded over "
+                        "this many devices with a per-step gradient "
+                        "all-reduce (batch_size must divide evenly; "
+                        "sharding + collective layout asserted in "
+                        "tests/test_fl_dp.py)")
     p.add_argument("--num_slices", type=int, default=0,
                    help="lay the mesh out slice-aware (make_multislice_mesh)"
                         ": clients spread across this many ICI slices, "
@@ -772,6 +779,22 @@ def main(argv=None):
                         "with --dp_clip_norm")
     p.add_argument("--dp_noise_multiplier", type=float, default=0.0,
                    help="DP-FedAvg: Gaussian noise std = clip * this / K")
+    p.add_argument("--secagg_clip_norm", type=float, default=None,
+                   help="secure aggregation (Bonawitz et al. 2017): L2-clip "
+                        "each client's round delta to this norm, quantize "
+                        "to the public fixed-point grid and pairwise-mask; "
+                        "the server only sums masked int32 payloads. "
+                        "Exclusive with the other aggregation modes")
+    p.add_argument("--secagg_bits", type=int, default=20,
+                   help="secure-aggregation fixed-point width (2-24; needs "
+                        "K * 2^(bits-1) < 2^31 of int32 headroom)")
+    p.add_argument("--topk_fraction", type=float, default=None,
+                   help="top-k sparsified FedAvg with error feedback (Lin "
+                        "et al. 2018): each client uploads only this "
+                        "fraction of its delta's largest-magnitude "
+                        "coordinates; the rest accumulates in a per-client "
+                        "residual and rides a later round. Exclusive with "
+                        "the other aggregation modes")
     p.add_argument("--round_save_dir", default=None,
                    help="save the global params after every round and "
                         "resume from the newest checkpoint on restart "

@@ -65,11 +65,55 @@ def add_transcripts(
     return out
 
 
+def fallback_transcribe(
+    decode: Callable,
+    n_windows: int,
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: float | None = 2.4,
+    logprob_threshold: float | None = -1.0,
+    seed: int = 0,
+) -> list[str]:
+    """whisper.transcribe's temperature-fallback loop over decode windows.
+
+    ``decode(window_indices, temperature, seed) -> (texts, avg_logprobs)``
+    decodes the given windows at one temperature. Every window first
+    decodes greedily (``temperatures[0]``); a window whose text compresses
+    too well (degenerate repetition, ``compression_ratio >
+    compression_ratio_threshold``) or whose ``avg_logprob <
+    logprob_threshold`` is re-decoded at the next temperature, escalating
+    until it passes or temperatures run out (whisper's
+    ``decode_with_fallback``; reference entry point
+    federated/src/federated_main.py:29-68 ``whisper.transcribe``)."""
+    from ..models.whisper import compression_ratio
+
+    def needs_retry(text: str, lp: float) -> bool:
+        if (compression_ratio_threshold is not None
+                and compression_ratio(text) > compression_ratio_threshold):
+            return True
+        return logprob_threshold is not None and lp < logprob_threshold
+
+    idx = list(range(n_windows))
+    texts, lps = decode(idx, float(temperatures[0]), seed)
+    texts, lps = list(texts), list(lps)
+    for ti, t in enumerate(temperatures[1:], start=1):
+        bad = [i for i in idx if needs_retry(texts[i], float(lps[i]))]
+        if not bad:
+            break
+        re_texts, re_lps = decode(bad, float(t), seed + ti)
+        for i, tx, lp in zip(bad, re_texts, re_lps):
+            texts[i], lps[i] = tx, lp
+    return texts
+
+
 class WhisperTeacher:
     """TPU-native port of the reference's Whisper teacher
     (``TeacherStudentLearning``, federated/src/federated_main.py:29-68):
-    batched 30 s-window log-mel -> encoder -> KV-cached greedy decode,
-    one jitted program for the whole batch.
+    batched 30 s-window log-mel -> encoder -> KV-cached scan decode, one
+    jitted program for the whole batch, with ``whisper.transcribe``'s
+    LONG-FORM semantics — audio beyond one window is split into
+    consecutive windows whose transcripts are stitched, and windows
+    failing whisper's quality gates (compression ratio > 2.4 or
+    avg_logprob < -1.0) are re-decoded at escalating temperatures.
 
     ``detokenize`` maps token-id lists to text (e.g.
     ``transformers.WhisperTokenizer.decode`` when HF assets are present;
@@ -78,34 +122,75 @@ class WhisperTeacher:
     """
 
     def __init__(self, cfg, params, detokenize: Callable[[Sequence[int]], str],
-                 dtype=None):
+                 dtype=None,
+                 temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                 compression_ratio_threshold: float | None = 2.4,
+                 logprob_threshold: float | None = -1.0):
         import jax
         import jax.numpy as jnp
 
-        from ..models.whisper import greedy_decode, log_mel_spectrogram, pad_or_trim
+        from ..models.whisper import (
+            chunk_samples,
+            decode_with_stats,
+            log_mel_spectrogram,
+            pad_or_trim,
+        )
 
         self.cfg = cfg
         self.params = params
         self.detokenize = detokenize
-        self._pad_or_trim = pad_or_trim
+        self.chunk = chunk_samples(cfg)
+        self.temperatures = tuple(temperatures)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self._pad_or_trim = lambda a: pad_or_trim(a, self.chunk)
         dtype = dtype or jnp.float32
 
-        def _run(params, audio):
+        def _run(params, audio, temperature, rng):
             mel = log_mel_spectrogram(audio, cfg.num_mel_bins)
-            return greedy_decode(cfg, params, mel, dtype=dtype)
+            return decode_with_stats(cfg, params, mel,
+                                     temperature=temperature, rng=rng,
+                                     dtype=dtype)
 
         self._run = jax.jit(_run)
 
-    def transcribe_batch(self, audios: Sequence[np.ndarray]) -> list[str]:
-        batch = np.stack([self._pad_or_trim(np.asarray(a, np.float32))
-                          for a in audios])
-        ids = np.asarray(self._run(self.params, batch))
-        out = []
+    def _decode_windows(self, windows: np.ndarray, idx, temperature, seed):
+        """Decode ``windows[idx]`` at one temperature -> (texts, lps)."""
+        import jax
+
+        ids, lps = self._run(self.params, windows[np.asarray(idx)],
+                             temperature, jax.random.PRNGKey(seed))
+        ids, lps = np.asarray(ids), np.asarray(lps)
         eot = self.cfg.eot_token
-        for row in ids:
-            keep = [int(t) for t in row if int(t) != eot]
-            out.append(self.detokenize(keep).upper().strip())
-        return out
+        texts = [self.detokenize([int(t) for t in row if int(t) != eot])
+                 .upper().strip() for row in ids]
+        return texts, lps
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray]) -> list[str]:
+        """Transcribe a batch of arbitrary-length clips: each is split into
+        ceil(len/chunk) windows (1 minimum), all windows across the batch
+        decode as ONE device batch per temperature pass, and each clip's
+        window texts are stitched in order."""
+        owner, windows = [], []
+        for a_i, a in enumerate(audios):
+            a = np.asarray(a, np.float32)
+            n_win = max(1, -(-len(a) // self.chunk))
+            for w in range(n_win):
+                windows.append(self._pad_or_trim(
+                    a[w * self.chunk:(w + 1) * self.chunk]))
+                owner.append(a_i)
+        stack = np.stack(windows)
+
+        texts = fallback_transcribe(
+            lambda idx, t, s: self._decode_windows(stack, idx, t, s),
+            len(windows), self.temperatures,
+            self.compression_ratio_threshold, self.logprob_threshold)
+
+        out = [[] for _ in audios]
+        for o, t in zip(owner, texts):
+            if t:
+                out[o].append(t)
+        return [" ".join(parts) for parts in out]
 
     def transcribe(self, examples: Sequence[AsrExample],
                    batch_size: int = 8) -> dict[str, str]:

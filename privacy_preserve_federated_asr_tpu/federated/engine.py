@@ -675,7 +675,31 @@ class FederatedEngine:
                     per_client.append(ph)
             stacked = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (k,) + x.shape), global_params)
-            new_params, losses = jax.vmap(local_train)(
+            vmapped = jax.vmap(local_train)
+            if f.mesh is not None:
+                if k % f.mesh.shape["client"] == 0:
+                    # Clients as truly independent SPMD programs: manual
+                    # over the ``client`` axis, so NO cross-client
+                    # collective can exist inside local training. (Plain
+                    # vmap folds the client dim into conv feature groups,
+                    # and GSPMD then all-gathers those activations across
+                    # clients EVERY STEP — cross-SLICE traffic on a
+                    # multislice layout.) The ``data`` axis stays auto, so
+                    # XLA still inserts each client's per-step gradient
+                    # all-reduce over its own data devices (ICI). The
+                    # FedAvg mean below is then the only cross-client
+                    # (cross-slice) collective of the round — asserted on
+                    # lowered HLO in tests/test_fl_dp.py.
+                    vmapped = jax.shard_map(
+                        vmapped, mesh=f.mesh,
+                        in_specs=P("client"), out_specs=P("client"),
+                        axis_names={"client"}, check_vma=False)
+                else:
+                    # sampled-client count doesn't divide the client axis:
+                    # fall back to GSPMD (pads internally); pin the client
+                    # dim so the partitioner can't re-use the axis elsewhere
+                    vmapped = jax.vmap(local_train, spmd_axis_name="client")
+            new_params, losses = vmapped(
                 stacked, tuple(per_client), rngs)
             if f.dp_clip_norm is not None:
                 if f.fedavg_weighted:
@@ -706,12 +730,20 @@ class FederatedEngine:
                     new_params, global_params, f.secagg_clip_norm, sa_rng,
                     bits=f.secagg_bits)
             elif f.topk_fraction is not None:
-                from ..parallel.fed import topk_delta_fedavg
+                from ..parallel.fed import select_network, topk_delta_fedavg
 
+                # sparsify ONLY the stage's aggregated sub-network: graft
+                # discards every other leaf of the aggregate, so spending
+                # top-k budget (and error-feedback residual memory) on them
+                # would be pure waste — and their residuals could accumulate
+                # drift that is never applied
                 weights = sample_counts if f.fedavg_weighted else None
-                avg, agg_state = topk_delta_fedavg(
-                    new_params, global_params, f.topk_fraction,
-                    residuals=agg_state, weights=weights)
+                sub_avg, agg_state = topk_delta_fedavg(
+                    select_network(new_params, network),
+                    select_network(global_params, network),
+                    f.topk_fraction, residuals=agg_state, weights=weights)
+                avg = dict(global_params)
+                avg.update(sub_avg)
             else:
                 weights = sample_counts if f.fedavg_weighted else None
                 avg = fedavg_stacked(new_params, weights)
@@ -774,31 +806,79 @@ class FederatedEngine:
             self._server_opt_states[stage] = st
         return st
 
+    def _topk_residual_template(self, stage: int):
+        """Zeros [K_total, ...] residual pytree covering ONLY the stage's
+        aggregated sub-network (the one part of the aggregate graft keeps —
+        residuals elsewhere would be memory + uplink spent on discarded
+        leaves)."""
+        from ..parallel.fed import select_network
+
+        return jax.tree.map(
+            lambda x: jnp.zeros((len(self.client_ids),) + x.shape,
+                                jnp.float32),
+            select_network(self.global_params, STAGE_NETWORK[stage]))
+
     def _topk_residuals_for(self, stage: int):
         """Per-stage error-feedback residuals, zeros-initialized lazily
-        (one fp32 copy of the param tree per client — the algorithm's
+        (one fp32 copy of the sub-network tree per client — the algorithm's
         actual memory cost; opt-in via topk_fraction)."""
         if self.fcfg.topk_fraction is None:
             return None
         res = self._topk_residuals.get(stage)
         if res is None:
-            res = jax.tree.map(
-                lambda x: jnp.zeros((len(self.client_ids),) + x.shape,
-                                    jnp.float32), self.global_params)
+            res = self._topk_residual_template(stage)
             self._topk_residuals[stage] = res
         return res
 
-    def _place_round_inputs(self, params, batches, rngs, counts):
+    def _place_round_inputs(self, params, batches, rngs, counts,
+                            specs=None):
         """With a mesh: shard the client axis of batches/rngs over the
-        ``client`` mesh axis and replicate params; jit infers the rest and
-        the FedAvg mean lowers to one collective over ICI."""
+        ``client`` mesh axis, the per-client batch dim over the ``data``
+        axis, and replicate params; jit infers the rest — the FedAvg mean
+        lowers to one collective over the client axis, and each client's
+        per-step gradient sync to one all-reduce over its ``data`` devices.
+
+        Sharding the batch dim is what makes ``data`` real per-client data
+        parallelism: each of a client's ``data`` devices computes the
+        forward/backward for B/data rows and XLA all-reduces the gradients
+        (classic DP inside the round program). Requires batch_size to
+        divide evenly; tested row sharding + collective replica groups in
+        tests/test_fl_dp.py.
+        """
         mesh = self.fcfg.mesh
         if mesh is None:
             return params, batches, rngs, counts
         repl = NamedSharding(mesh, P())
         csh = NamedSharding(mesh, P("client"))
+        data_n = int(mesh.shape.get("data", 1))
+        if data_n > 1 and self.fcfg.batch_size % data_n:
+            raise ValueError(
+                f"batch_size ({self.fcfg.batch_size}) must be divisible by "
+                f"the data mesh axis ({data_n}) so each client's batch rows "
+                "shard evenly across its data devices")
+        kinds = ([k for k, _ in specs] if specs is not None
+                 else ["sup"] * len(batches))
+
+        def put_phase(phase, kind):
+            if data_n == 1:
+                return jax.tree.map(lambda x: jax.device_put(x, csh), phase)
+            if kind not in ("sup", "mt"):
+                raise ValueError(
+                    f"phase kind {kind!r} cannot run on a mesh (resident "
+                    "paths are disabled when fcfg.mesh is set)")
+            # DeviceBatch leaves are [K, steps, B, ...] -> B is dim 2
+            bsh = NamedSharding(mesh, P("client", None, "data"))
+            if kind == "mt":
+                # (DeviceBatch, labels [K, steps, N, B, L], lens [K, steps,
+                # N, B]) -> B is dim 3 on the N-best stacks
+                db, stacks, lls = phase
+                nsh = NamedSharding(mesh, P("client", None, None, "data"))
+                return (jax.tree.map(lambda x: jax.device_put(x, bsh), db),
+                        jax.device_put(stacks, nsh), jax.device_put(lls, nsh))
+            return jax.tree.map(lambda x: jax.device_put(x, bsh), phase)
+
         params = jax.device_put(params, repl)
-        batches = jax.tree.map(lambda x: jax.device_put(x, csh), batches)
+        batches = tuple(put_phase(ph, k) for ph, k in zip(batches, kinds))
         return params, batches, jax.device_put(rngs, csh), jax.device_put(counts, csh)
 
     # ------------------------------------------------------------------
@@ -922,6 +1002,24 @@ class FederatedEngine:
                       "server state restarts from zero (resume is inexact)")
                 self.logger.log({"fl_resume_server_state_missing": 1.0,
                                  "stage": stage})
+        if f.topk_fraction is not None:
+            tk = p.with_name(p.name + "-topk")
+            if tk.exists():
+                # load_params returns host numpy; the round loop scatters
+                # into these with .at[pos].set, so they must be jax arrays
+                self._topk_residuals[stage] = jax.tree.map(
+                    jnp.asarray, load_params(
+                        str(tk),
+                        template=self._topk_residual_template(stage)))
+            else:
+                # re-initializing residuals to zero silently drops every
+                # accumulated untransmitted coordinate — say so loudly,
+                # mirroring the '-server' path
+                print(f"[engine] round checkpoint {p.name} has no '-topk' "
+                      "sibling; top-k error-feedback residuals restart "
+                      "from zero (resume is inexact)")
+                self.logger.log({"fl_resume_topk_residuals_missing": 1.0,
+                                 "stage": stage})
         self.logger.log({"fl_resume_round": rnd, "stage": stage})
         return rnd
 
@@ -971,7 +1069,8 @@ class FederatedEngine:
             rngs = jax.random.split(jax.random.PRNGKey(f.seed + 7919 * rnd), m)
             counts = jnp.asarray(
                 [len(self.client_examples[c]) for c in cids], dtype=jnp.float32)
-            placed = self._place_round_inputs(self.global_params, phases, rngs, counts)
+            placed = self._place_round_inputs(
+                self.global_params, phases, rngs, counts, specs)
             sstate = self._server_opt_state(stage)
             if sstate is not None and f.mesh is not None:
                 sstate = jax.device_put(sstate, NamedSharding(f.mesh, P()))

@@ -7,7 +7,10 @@ from .recipes import RECIPES, Recipe, get_recipe, init_recipe_params
 from .whisper import (
     WhisperConfigT,
     WhisperModel,
+    chunk_samples,
+    compression_ratio,
     config_from_hf,
+    decode_with_stats,
     greedy_decode,
     log_mel_spectrogram,
     port_hf_whisper,
@@ -16,7 +19,10 @@ from .whisper import (
 __all__ = [
     "WhisperConfigT",
     "WhisperModel",
+    "chunk_samples",
+    "compression_ratio",
     "config_from_hf",
+    "decode_with_stats",
     "greedy_decode",
     "log_mel_spectrogram",
     "port_hf_whisper",

@@ -134,6 +134,14 @@ def pad_or_trim(audio: np.ndarray, length: int = CHUNK_SAMPLES) -> np.ndarray:
     return np.pad(audio, pad)
 
 
+def chunk_samples(cfg: WhisperConfigT) -> int:
+    """The model's decode-window length in waveform samples: the encoder
+    consumes ``max_source_positions`` frames after the 2x conv downsample,
+    i.e. ``max_source_positions * 2`` mel frames of ``HOP`` samples each
+    (30 s for the real models; cfg-proportional for test-size configs)."""
+    return cfg.max_source_positions * 2 * HOP
+
+
 # ---------------------------------------------------------------------------
 # model
 
@@ -296,19 +304,29 @@ class WhisperModel(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# greedy decoding
+# decoding
 
 
-def greedy_decode(
+def decode_with_stats(
     cfg: WhisperConfigT,
     params,
     mel: jax.Array,
+    temperature: jax.Array | float = 0.0,
+    rng: jax.Array | None = None,
     max_new_tokens: int | None = None,
     dtype: jnp.dtype = jnp.float32,
-) -> jax.Array:
-    """Batched greedy transcription: [B, T_mel, M] -> token ids
-    [B, max_target_positions] (eot-padded). One jittable program: encoder
-    once, then ``lax.scan`` over single-token KV-cached decoder steps."""
+) -> tuple[jax.Array, jax.Array]:
+    """Batched transcription with decode statistics: [B, T_mel, M] ->
+    (token ids [B, max_target_positions] eot-padded, avg_logprob [B]).
+
+    One jittable program: encoder once, then ``lax.scan`` over single-token
+    KV-cached decoder steps. ``temperature`` may be a traced scalar: 0 =
+    greedy argmax; > 0 = categorical sampling of ``logits/temperature``
+    (whisper's temperature-fallback re-decode,
+    reference usage: federated/src/federated_main.py:29-68 calls
+    ``whisper.transcribe`` whose DecodingOptions escalate temperature).
+    ``avg_logprob`` matches whisper's accounting: the sum of the selected
+    tokens' log-probs (eot step included) over ``len(tokens) + 1``."""
     c = cfg
     model = WhisperModel(c, dtype)
     prompt = jnp.asarray(c.forced_tokens(), dtype=jnp.int32)
@@ -318,6 +336,8 @@ def greedy_decode(
         max_new_tokens = total - n_prompt
     max_new_tokens = min(max_new_tokens, total - n_prompt)
     b = mel.shape[0]
+    temperature = jnp.asarray(temperature, jnp.float32)
+    rng = jax.random.PRNGKey(0) if rng is None else rng
 
     enc = model.apply({"params": params}, mel, method=WhisperModel.encode)
 
@@ -338,27 +358,69 @@ def greedy_decode(
             method=WhisperModel.decode_step, mutable=["cache"])
         cache = vars_["cache"]
 
-    first = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    def select(logits_last, key):
+        """Greedy at temperature 0, categorical otherwise, plus the
+        selected token's log-prob."""
+        lp = jax.nn.log_softmax(logits_last.astype(jnp.float32), axis=-1)
+        greedy = jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
+        scaled = logits_last.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+        sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(temperature > 0.0, sampled, greedy)
+        return nxt, jnp.take_along_axis(lp, nxt[:, None], axis=1)[:, 0]
+
+    first, lp_first = select(logits[:, -1, :], jax.random.fold_in(rng, 0))
     done0 = first == c.eot_token
+    sum_lp0 = lp_first
+    n_emit0 = jnp.ones((b,), jnp.float32)
 
     def step(carry, i):
-        cache, tok, done = carry
+        cache, tok, done, sum_lp, n_emit = carry
         logits, vars_ = model.apply(
             {"params": params, "cache": cache}, tok[:, None], enc,
             n_prompt + i, method=WhisperModel.decode_step, mutable=["cache"])
         cache = vars_["cache"]
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        nxt, lp = select(logits[:, -1, :], jax.random.fold_in(rng, i + 1))
         nxt = jnp.where(done, c.eot_token, nxt)
+        sum_lp = sum_lp + jnp.where(done, 0.0, lp)
+        n_emit = n_emit + jnp.where(done, 0.0, 1.0)
         done = done | (nxt == c.eot_token)
-        return (cache, nxt, done), tok
+        return (cache, nxt, done, sum_lp, n_emit), tok
 
-    (_, last, _), toks = jax.lax.scan(
-        step, (cache, first, done0), jnp.arange(max_new_tokens - 1))
+    (_, last, _, sum_lp, n_emit), toks = jax.lax.scan(
+        step, (cache, first, done0, sum_lp0, n_emit0),
+        jnp.arange(max_new_tokens - 1))
     out = jnp.concatenate([toks.transpose(1, 0), last[:, None]], axis=1)
     pad = total - n_prompt - out.shape[1]
     if pad > 0:
         out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=c.eot_token)
+    # whisper: avg = sum over sampled tokens (incl. eot) / (len(tokens)+1);
+    # n_emit counts the eot step, so n_emit == len(tokens)+1 whenever eot
+    # was reached (the off-by-one when the token budget runs out first is
+    # negligible at max_target_positions length)
+    return out, sum_lp / n_emit
+
+
+def greedy_decode(
+    cfg: WhisperConfigT,
+    params,
+    mel: jax.Array,
+    max_new_tokens: int | None = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Batched greedy transcription: [B, T_mel, M] -> token ids
+    [B, max_target_positions] (eot-padded)."""
+    out, _ = decode_with_stats(cfg, params, mel, temperature=0.0,
+                               max_new_tokens=max_new_tokens, dtype=dtype)
     return out
+
+
+def compression_ratio(text: str) -> float:
+    """whisper.utils.compression_ratio: length of the UTF-8 text over its
+    zlib-compressed length — degenerate repetition looks very compressible."""
+    import zlib
+
+    data = text.encode("utf-8")
+    return len(data) / max(len(zlib.compress(data)), 1)
 
 
 # ---------------------------------------------------------------------------

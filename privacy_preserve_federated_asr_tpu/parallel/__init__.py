@@ -8,7 +8,10 @@ from .fed import (
     fedavg_stacked,
     graft_network,
     network_mask,
+    secagg_payloads,
+    secure_aggregate_fedavg,
     select_network,
+    topk_delta_fedavg,
 )
 
 __all__ = [
@@ -26,5 +29,8 @@ __all__ = [
     "fedavg_stacked",
     "graft_network",
     "network_mask",
+    "secagg_payloads",
+    "secure_aggregate_fedavg",
     "select_network",
+    "topk_delta_fedavg",
 ]

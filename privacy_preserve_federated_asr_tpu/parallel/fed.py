@@ -17,6 +17,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # sub-network name -> top-level param-path prefixes
 # (reference: update_network_weight's "ASR" = data2vec_audio + lm_head,
@@ -209,16 +210,30 @@ def secagg_payloads(
     flat, treedef = jax.tree_util.tree_flatten(deltas)
     leaf_keys = jax.random.split(rng, len(flat))
 
+    # Pair structure is static: P = K(K-1)/2 streams, client i adds stream
+    # (i, j) with sign +1 and client j with -1. One vmapped PRG draw over
+    # all pair keys + a [K, P] sign-matrix contraction builds every
+    # client's mask sum in two fused ops — the Python-unrolled O(K^2)
+    # scatter-add version made compile time and HLO size quadratic in K.
+    # Integer addition is exactly associative, so the contraction is
+    # bit-identical to the sequential scatter-adds.
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    pair_ids = jnp.asarray([i * k + j for i, j in pairs], jnp.uint32)
+    sign = np.zeros((k, len(pairs)), np.int32)
+    for p, (i, j) in enumerate(pairs):
+        sign[i, p], sign[j, p] = 1, -1
+    sign = jnp.asarray(sign)
+
     def payload(d, leaf_key):
         cb = clip.reshape((-1,) + (1,) * (d.ndim - 1))
         q = jnp.round(d * cb / scale).astype(jnp.int32)         # |q| <= qmax
-        masks = jnp.zeros(d.shape, jnp.int32)
-        for i in range(k):
-            for j in range(i + 1, k):
-                r = jax.random.bits(
-                    jax.random.fold_in(leaf_key, i * k + j),
-                    shape=d.shape[1:], dtype=jnp.uint32).astype(jnp.int32)
-                masks = masks.at[i].add(r).at[j].add(-r)
+        if not pairs:                                           # K == 1
+            return q
+        draw = jax.vmap(lambda pid: jax.random.bits(
+            jax.random.fold_in(leaf_key, pid),
+            shape=d.shape[1:], dtype=jnp.uint32).astype(jnp.int32))
+        r = draw(pair_ids)                                      # [P, ...]
+        masks = jnp.tensordot(sign, r, axes=1)                  # [K, ...] wrap
         return q + masks                                        # int32 wrap
 
     return (jax.tree_util.tree_unflatten(

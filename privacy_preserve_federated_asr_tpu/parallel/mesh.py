@@ -6,9 +6,15 @@ two named axes:
 
   * ``client`` — federated clients: each client's model replica + optimizer
     state + data shard live on its slice of the mesh; a FedAvg round is one
-    XLA collective over this axis (ICI, not disk).
+    XLA collective over this axis (ICI, not disk). The FL engine runs
+    clients shard_map-MANUAL over this axis, so no cross-client collective
+    can exist inside local training.
   * ``data``   — per-client batch sharding (classic DP) when a client spans
-    multiple chips.
+    multiple chips: batch rows are physically sharded and each client's
+    per-step gradient sync is an all-reduce over its ``data`` devices.
+
+Both properties are asserted on lowered HLO (input shard shapes +
+collective replica groups), not just numerics: tests/test_fl_dp.py.
 """
 
 from __future__ import annotations
@@ -47,7 +53,9 @@ def make_multislice_mesh(
     clients across slices, so only the once-per-round FedAvg mean (a few
     bytes per parameter per round, vs per step) crosses DCN. This is the
     SURVEY §2.6 target: "collectives ride ICI, not DCN" for the hot path,
-    with the FL aggregation as the only DCN traffic.
+    with the FL aggregation as the only DCN traffic — asserted on the
+    lowered round's collective replica groups in
+    tests/test_fl_dp.py::test_multislice_hot_loop_rides_ici.
 
     Slice membership comes from ``device.slice_index`` when the runtime
     exposes it (real multi-slice jobs). ``num_slices`` overrides it to

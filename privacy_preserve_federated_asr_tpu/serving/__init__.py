@@ -1,8 +1,14 @@
 from .engine import InferenceEngine, InferenceResult, ServingConfig
 from .server import make_server, serve_forever
-from .streaming import StreamingConfig, StreamingResult, StreamingSession
+from .streaming import (
+    StreamingConfig,
+    StreamingResult,
+    StreamingSession,
+    measure_finalization_flips,
+)
 
 __all__ = [
+    "measure_finalization_flips",
     "InferenceEngine",
     "InferenceResult",
     "ServingConfig",

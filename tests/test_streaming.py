@@ -176,3 +176,39 @@ def test_http_streaming_idle_sessions_reaped():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_measure_finalization_flips_calibration():
+    """r2 verdict #7: the right_context knob must have DATA behind it.
+    Pins the measurement's calibration properties on synthetic audio:
+    more right context finalizes fewer frames early and can only reduce
+    the flip COUNT; a right context >= the utterance finalizes nothing
+    early (flip rate exactly 0); and the tiny right context actually
+    finalizes a nonzero number of frames (the measurement measures
+    something)."""
+    from privacy_preserve_federated_asr_tpu.serving import (
+        measure_finalization_flips,
+    )
+
+    eng = _engine()
+    audios = [_wave(6 * 3200, seed=s) for s in (3, 4)]
+    rows = measure_finalization_flips(
+        eng, audios, right_context_grid=(0.2, 0.6, 1.2, 10.0),
+        hop_seconds=0.2, chunk_seconds=0.2)
+
+    assert [r["right_context_seconds"] for r in rows] == [0.2, 0.6, 1.2, 10.0]
+    # the tightest setting finalizes most of the utterance early
+    assert rows[0]["finalized_frames"] > 0
+    assert rows[0]["finalized_fraction"] > 0.3
+    # monotone: growing right context can only shrink early-finalized
+    # frames and flip counts
+    fr = [r["finalized_frames"] for r in rows]
+    fl = [r["flips"] for r in rows]
+    assert fr == sorted(fr, reverse=True)
+    assert fl == sorted(fl, reverse=True)
+    # nothing finalizes early past the utterance end: rate is exactly 0
+    assert rows[-1]["finalized_frames"] == 0
+    assert rows[-1]["flip_rate"] == 0.0
+    # rates are rates
+    for r in rows:
+        assert 0.0 <= r["flip_rate"] <= 1.0
