@@ -199,6 +199,10 @@ def main() -> None:
         "trials": [round(r, 3) for r in rates],
         "spread": round(spread(rates), 4),
         "steps_per_trial": MEASURE_STEPS,
+        # kernel-level metric: device-resident batch, one-time frontend
+        # cache build and host input pipeline excluded; end-to-end engine
+        # rounds are PERF.md §5 (110-538 utt/s depending on stage/path)
+        "scope": "steady_state_train_step",
     }))
 
 

@@ -412,6 +412,32 @@ def cmd_serve(args):
                   warmup=not args.no_warmup)
 
 
+def cmd_stream_report(args):
+    """Measure streaming finalization stability on real audio so the
+    deployment can choose ``right_context_seconds`` from data (the flip
+    rate of early-finalized frames vs the full-context decode)."""
+    from .data.tokenizer import CTCCharTokenizer
+    from .serving import InferenceEngine, ServingConfig, measure_finalization_flips
+
+    _maybe_fast_rng(args)
+    cfg = _dacs_cfg(args)
+    params = load_params(cfg, args.model_in_path, args.seed)
+    exs, tok = _load_examples(args, args.test_csv)
+    if args.max_utts:
+        exs = exs[: args.max_utts]
+    engine = InferenceEngine(
+        cfg, params, CTCCharTokenizer(),
+        ServingConfig(batch_size=args.eval_batch_size,
+                      max_seconds=args.max_seconds,
+                      compute_dtype=args.compute_dtype))
+    rows = measure_finalization_flips(
+        engine, [e.array for e in exs],
+        right_context_grid=tuple(args.right_context_grid),
+        hop_seconds=args.hop_seconds)
+    for r in rows:
+        print(json.dumps(r))
+
+
 def cmd_detail_wer(args):
     from .evaluation import detailed_wer_report
 
@@ -835,6 +861,20 @@ def main(argv=None):
     p.add_argument("--lm_alpha", type=float, default=0.3)
     p.add_argument("--lm_beta", type=float, default=0.0)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "stream-report",
+        help="measure streaming finalization flip rate per right-context "
+             "setting on the test CSV's audio (pick the latency knob from "
+             "data, serving/streaming.py measure_finalization_flips)")
+    _add_common(p)
+    p.add_argument("--max_seconds", type=float, default=30.0)
+    p.add_argument("--max_utts", type=int, default=0,
+                   help="cap the measured utterances (0 = all)")
+    p.add_argument("--hop_seconds", type=float, default=0.5)
+    p.add_argument("--right_context_grid", type=float, nargs="+",
+                   default=[0.25, 0.5, 1.0, 2.0, 4.0])
+    p.set_defaults(fn=cmd_stream_report)
 
     p = sub.add_parser("detail-wer", help="grouped WER report")
     p.add_argument("--pkl", required=True)

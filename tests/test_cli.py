@@ -267,3 +267,21 @@ def test_cli_transcribe(data_dir, tmp_path, capsys):
     row = json.loads(lines[0])
     assert {"path", "transcript", "ad_pred", "ad_prob"} <= set(row)
     assert (tmp_path / "tx.csv").read_text().count("\n") == 7  # header + 6
+
+
+def test_cli_stream_report(data_dir, tmp_path, capsys):
+    """stream-report prints one JSON row per right-context grid point with
+    the finalization flip-rate fields (the data behind the streaming
+    latency knob)."""
+    main(["stream-report", "--max_utts", "2", "--hop_seconds", "0.1",
+          "--right_context_grid", "0.1", "30.0",
+          *_common(data_dir, tmp_path)])
+    out = capsys.readouterr().out
+    rows = [json.loads(l) for l in out.strip().splitlines()
+            if l.startswith("{")]
+    assert [r["right_context_seconds"] for r in rows] == [0.1, 30.0]
+    for r in rows:
+        assert {"finalized_frames", "finalized_fraction", "flips",
+                "flip_rate"} <= set(r)
+    # past-the-utterance right context finalizes nothing early
+    assert rows[-1]["finalized_frames"] == 0
