@@ -1,11 +1,14 @@
 """Int8 (W8A8) dynamic-quantization matmul for the inference path.
 
 PERF.md §4: at the model's row count this chip's bf16 dependent-matmul
-ceiling is ~92 TFLOP/s; the MXU's int8 path doubles that. Training
-semantics forbid it (the reference trains fp16 with fp32 CTC), but the
-forward-only surfaces — serving (serving/engine.py), batched extraction
-(evaluation/extract.py) — are free to trade a bounded quantization error
-for ~2× matmul rate.
+ceiling is ~92 TFLOP/s; the MXU's s8 path measures 1.28-1.57× that
+(118-195 TF/s depending on shape — not the datasheet 2×). Training
+semantics forbid it by default (the reference trains fp16 with fp32 CTC),
+but the forward-only surfaces — serving (serving/engine.py), batched
+extraction (evaluation/extract.py) — trade a bounded quantization error
+for a measured serving win (PERF.md §6). The TRAINING variant below is a
+measured wash on the bench chip (PERF.md §4) and exists for chips with a
+true 2× s8 path.
 
 Recipe (standard dynamic W8A8, computed inside the jitted forward):
 
