@@ -406,7 +406,7 @@ def cmd_serve(args):
                       batch_window_ms=args.batch_window_ms,
                       compute_dtype=args.compute_dtype,
                       beam_size=args.beam_size, lm_alpha=args.lm_alpha,
-                      lm_beta=args.lm_beta),
+                      lm_beta=args.lm_beta, transport=args.transport),
         lm_fn=lm_fn)
     serve_forever(engine, host=args.host, port=args.port,
                   warmup=not args.no_warmup)
@@ -860,6 +860,11 @@ def main(argv=None):
                         "train CSV's transcripts (needs --beam_size > 0)")
     p.add_argument("--lm_alpha", type=float, default=0.3)
     p.add_argument("--lm_beta", type=float, default=0.0)
+    p.add_argument("--transport", default="float32",
+                   choices=["float32", "int16"],
+                   help="host->device waveform encoding; int16 halves the "
+                        "batch upload bytes (dequant + normalization move "
+                        "on-device; PERF.md §6)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

