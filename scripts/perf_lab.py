@@ -186,11 +186,13 @@ def bench_feature_step(batch_size=16, seconds=5.0, label_len=48, stage=0):
             "utt_per_sec": round(batch_size / dt, 1)}
 
 
-def bench_serving(batch_size=8, seconds=5.0, stage=2, compute_dtype="bfloat16"):
+def bench_serving(batch_size=8, seconds=5.0, stage=2, compute_dtype="bfloat16",
+                  transport="float32"):
     """End-to-end serving path on the flagship model: single-request latency
     and saturated batched throughput through InferenceEngine.infer_batch
     (includes host-side padding, normalization and greedy decode).
-    compute_dtype "int8" measures the dynamic-W8A8 path (ops/quant.py)."""
+    compute_dtype "int8" measures the dynamic-W8A8 path (ops/quant.py);
+    transport "int16" the half-width host->device waveform encoding."""
     from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
     from privacy_preserve_federated_asr_tpu.serving import (
         InferenceEngine, ServingConfig)
@@ -203,7 +205,7 @@ def bench_serving(batch_size=8, seconds=5.0, stage=2, compute_dtype="bfloat16"):
     params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
     eng = InferenceEngine(cfg, params, None, ServingConfig(
         batch_size=batch_size, max_seconds=seconds,
-        compute_dtype=compute_dtype))
+        compute_dtype=compute_dtype, transport=transport))
     rng = np.random.default_rng(0)
     waves = [rng.normal(0, 0.3, size=samples).astype(np.float32)
              for _ in range(batch_size)]
@@ -214,10 +216,52 @@ def bench_serving(batch_size=8, seconds=5.0, stage=2, compute_dtype="bfloat16"):
     dtb = time_fn(lambda: eng.infer_batch(waves), (),
                   flush=lambda rs: rs[-1].ad_prob)
     print(json.dumps({
-        "config": f"serve B={batch_size} T={seconds}s st={stage} {compute_dtype}",
+        "config": (f"serve B={batch_size} T={seconds}s st={stage} "
+                   f"{compute_dtype} tx={transport}"),
         "single_latency_ms": round(dt1 * 1e3, 1),
         "batch_ms": round(dtb * 1e3, 1),
         "throughput_utt_per_sec": round(batch_size / dtb, 1)}), flush=True)
+
+
+def bench_transport_ab(batch_size=8, seconds=5.0, stage=2,
+                       compute_dtype="bfloat16", trials=3):
+    """Interleaved float32-vs-int16 transport A/B in ONE session: the tunnel
+    transport variance dominates serving latency (PERF.md §6), so only
+    same-window comparisons are meaningful. Both engines share params and
+    alternate batch timings trial by trial."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine, ServingConfig)
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    samples = int(16000 * seconds)
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    engines = {}
+    for tx in ("float32", "int16"):
+        engines[tx] = InferenceEngine(cfg, params, None, ServingConfig(
+            batch_size=batch_size, max_seconds=seconds,
+            compute_dtype=compute_dtype, transport=tx))
+        engines[tx].warmup([samples])
+    rng = np.random.default_rng(0)
+    waves = [rng.normal(0, 0.3, size=samples).astype(np.float32)
+             for _ in range(batch_size)]
+    results = {tx: [] for tx in engines}
+    for _ in range(trials):
+        for tx, eng in engines.items():
+            dtb = time_fn(lambda e=eng: e.infer_batch(waves), (),
+                          flush=lambda rs: rs[-1].ad_prob)
+            results[tx].append(round(dtb * 1e3, 1))
+    for tx, ms in results.items():
+        med = sorted(ms)[len(ms) // 2]
+        print(json.dumps({
+            "config": (f"serve-transport B={batch_size} T={seconds}s "
+                       f"st={stage} {compute_dtype} tx={tx}"),
+            "batch_ms_trials": ms, "batch_ms_median": med,
+            "throughput_utt_per_sec": round(batch_size / (med / 1e3), 1)}),
+            flush=True)
 
 
 def bench_attention(t, impl, block=128, b=16, h=16, d=64, rate=0.0):
@@ -272,6 +316,11 @@ def main():
             flush=True)
     elif mode == "serve":
         bench_serving(
+            batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+            compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16",
+            transport=sys.argv[4] if len(sys.argv) > 4 else "float32")
+    elif mode == "transport":
+        bench_transport_ab(
             batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
             compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16")
     elif mode == "posconv":
