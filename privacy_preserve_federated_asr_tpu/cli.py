@@ -197,6 +197,14 @@ def _add_common(p):
                    help="tensor-parallel chips: encoder matmuls "
                         "Megatron-sharded over a 'model' mesh axis "
                         "(parallel/tp.py; for backbones beyond one chip)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline stages: encoder layer stack GPipe-"
+                        "pipelined over a 'pipe' mesh axis (parallel/pp.py; "
+                        "needs --scan_layers; for backbones too deep for "
+                        "one chip)")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="GPipe microbatches per batch (default = --pp; "
+                        "more microbatches = smaller pipeline bubble)")
     # the reference's path.sh exports DACS_dataRoot/DACS_codeRoot and
     # scripts read them at import (federated/src/utils.py:22-23,53) —
     # honored here as CLI defaults
@@ -242,6 +250,7 @@ def cmd_train(args):
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
         scan_layers=args.scan_layers, dp=args.dp, tp=args.tp,
+        pp=args.pp, pp_microbatches=args.pp_microbatches,
         cache_encoder=False if args.no_cache_encoder else None,
         cache_frontend=False if args.no_cache_frontend else None,
         log_file=args.log_path, save_dir=args.model_out_path,

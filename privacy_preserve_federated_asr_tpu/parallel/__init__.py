@@ -1,4 +1,5 @@
 from .mesh import make_mesh, make_multislice_mesh, shard_leading_axis, replicated
+from .pp import make_pp_forward, make_pp_stack, validate_pp
 from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
 from .fed import (
     NETWORKS,
@@ -20,6 +21,9 @@ __all__ = [
     "compressed_delta_fedavg",
     "shard_leading_axis",
     "replicated",
+    "make_pp_forward",
+    "make_pp_stack",
+    "validate_pp",
     "tp_partition_spec",
     "tp_shardings",
     "validate_tp_divisibility",

@@ -51,6 +51,7 @@ class DeviceBatch:
 def make_train_step(
     model, tx: optax.GradientTransformation, cfg: DACSConfig,
     aux_metrics: bool = False, recipe: Recipe | None = None,
+    forward_fn: Callable | None = None,
 ) -> Callable[[DACSTrainState, DeviceBatch], tuple[DACSTrainState, dict]]:
     """Build the pure train step for one optimizer/config pair.
 
@@ -65,6 +66,10 @@ def make_train_step(
     backward (the optimizer masking alone would still *compute* those
     gradients and then zero the updates). ``aux_metrics=False`` likewise
     prunes loss terms the stage doesn't consume (see dacs_loss).
+
+    ``forward_fn`` swaps the model forward for an alternative producing
+    the same DACSOutputs (the pipeline-parallel forward,
+    ``parallel/pp.py:make_pp_forward``); losses/optimizer are unchanged.
     """
     recipe = recipe or get_recipe(cfg.method)
     trainable = recipe.trainable(cfg.stage)
@@ -83,10 +88,17 @@ def make_train_step(
 
         def loss_fn(params):
             params = _freeze(params)
-            out = model.apply(
-                {"params": params}, batch.input_values, batch.input_lengths,
-                deterministic=False, backbone_deterministic=backbone_det, rngs=rngs,
-            )
+            if forward_fn is not None:
+                out = forward_fn(params, batch.input_values,
+                                 batch.input_lengths, deterministic=False,
+                                 backbone_deterministic=backbone_det,
+                                 rngs=rngs)
+            else:
+                out = model.apply(
+                    {"params": params}, batch.input_values, batch.input_lengths,
+                    deterministic=False, backbone_deterministic=backbone_det,
+                    rngs=rngs,
+                )
             return recipe.loss(out, batch.labels, batch.label_lengths,
                                batch.dementia_labels, cfg, params,
                                batch.sample_mask, aux_metrics)
@@ -371,14 +383,20 @@ def _eval_from_outputs(out, params, batch, cfg: DACSConfig,
     return loss, pred_ids, ad_pred
 
 
-def make_eval_step(model, cfg: DACSConfig, recipe: Recipe | None = None):
+def make_eval_step(model, cfg: DACSConfig, recipe: Recipe | None = None,
+                   forward_fn: Callable | None = None):
     recipe = recipe or get_recipe(cfg.method)
 
     def eval_step(params, batch: DeviceBatch):
-        out = model.apply(
-            {"params": params}, batch.input_values, batch.input_lengths,
-            deterministic=True, rngs={"gumbel": jax.random.PRNGKey(0)},
-        )
+        rngs = {"gumbel": jax.random.PRNGKey(0)}
+        if forward_fn is not None:
+            out = forward_fn(params, batch.input_values, batch.input_lengths,
+                             deterministic=True, rngs=rngs)
+        else:
+            out = model.apply(
+                {"params": params}, batch.input_values, batch.input_lengths,
+                deterministic=True, rngs=rngs,
+            )
         return _eval_from_outputs(out, params, batch, cfg, recipe)
 
     return eval_step

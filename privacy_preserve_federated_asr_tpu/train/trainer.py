@@ -66,6 +66,8 @@ class TrainerConfig:
     scan_layers: bool = False  # one compiled layer scanned over N (fast compile)
     dp: int = 1  # data-parallel chips: batch sharded over a "data" mesh axis
     tp: int = 1  # tensor-parallel chips: encoder matmuls sharded over "model"
+    pp: int = 1  # pipeline stages: encoder layer stack over a "pipe" axis
+    pp_microbatches: int | None = None  # GPipe microbatches (default = pp)
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
@@ -111,6 +113,26 @@ class Trainer:
             if cfg.backbone.attention_impl == "auto":
                 cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
                     cfg.backbone, attention_impl="xla"))
+        if tcfg.pp > 1:
+            # GPipe pipeline over a "pipe" mesh axis (parallel/pp.py): the
+            # pipelined forward is wired for the DACS model's stacked
+            # scan_layers layout; dp/tp composition is a separate mesh
+            # story not offered yet
+            from ..parallel.pp import validate_pp
+
+            if cfg.method != "dacs":
+                raise ValueError("pp > 1 is wired for the DACS model only "
+                                 f"(method={cfg.method!r})")
+            if not tcfg.scan_layers:
+                raise ValueError("pp > 1 requires scan_layers=True (the "
+                                 "stacked [L, ...] param layout the "
+                                 "pipeline shards)")
+            if tcfg.dp > 1 or tcfg.tp > 1:
+                raise ValueError("pp composes with dp/tp via the federated "
+                                 "mesh only; Trainer pp must run alone")
+            mb = tcfg.pp_microbatches or tcfg.pp
+            validate_pp(cfg.backbone, tcfg.pp, tcfg.batch_size, mb)
+            validate_pp(cfg.backbone, tcfg.pp, tcfg.eval_batch_size, mb)
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
@@ -202,9 +224,30 @@ class Trainer:
                     self.state, tp_shardings(mesh, self.state))
             else:
                 self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+        forward_fn = None
+        if tcfg.pp > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ..parallel.pp import make_pp_forward
+
+            devices = jax.devices()
+            if len(devices) < tcfg.pp:
+                raise ValueError(f"pp={tcfg.pp} needs {tcfg.pp} devices, "
+                                 f"have {len(devices)}")
+            mesh = Mesh(np.array(devices[:tcfg.pp]), ("pipe",))
+            # params/opt state replicated on every stage; the stacked layer
+            # leaves are re-sharded over "pipe" inside the pipelined
+            # forward's shard_map
+            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+            self._batch_sharding = NamedSharding(mesh, P())
+            forward_fn = make_pp_forward(
+                self.model, mesh,
+                num_microbatches=tcfg.pp_microbatches or tcfg.pp,
+                remat=tcfg.remat)
         self._train_step = jax.jit(
-            make_train_step(self.model, self.tx, cfg), donate_argnums=(0,))
-        eval_step = make_eval_step(self.model, cfg)
+            make_train_step(self.model, self.tx, cfg, forward_fn=forward_fn),
+            donate_argnums=(0,))
+        eval_step = make_eval_step(self.model, cfg, forward_fn=forward_fn)
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
         self._eval_cache = None  # staged eval batches (eval set is static)
 
@@ -216,7 +259,7 @@ class Trainer:
                 and not self.recipe.supports_cache):
             raise ValueError("frozen-forward caching is wired for the DACS "
                              f"model only (method={cfg.method!r})")
-        single_device = (tcfg.dp == 1 and tcfg.tp == 1
+        single_device = (tcfg.dp == 1 and tcfg.tp == 1 and tcfg.pp == 1
                          and self.recipe.supports_cache)
         self._cache_encoder = (
             not self.recipe.backbone_trains(cfg.stage) and single_device

@@ -101,7 +101,10 @@ def test_cli_federated_multislice_mesh(data_dir, tmp_path, capsys):
           "--client_mesh", "2", "--data_mesh", "4", "--num_slices", "2",
           "--compress_bits", "8", "--server_optimizer", "momentum",
           "-model_out", str(tmp_path / "flmesh"), "-log", "fl_mesh.txt",
-          *_common(data_dir, tmp_path)])
+          *_common(data_dir, tmp_path),
+          # real per-client data parallelism: batch rows shard over the
+          # 4-device data axis, so the batch must divide by it
+          "--train_batch_size", "4"])
     out = capsys.readouterr().out
     assert "device mesh: client=2 x data=4 over 2 slices" in out
     assert "eval_wer" in out
