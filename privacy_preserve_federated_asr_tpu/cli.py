@@ -737,6 +737,65 @@ def cmd_transcribe(args):
         print(json.dumps(row))
 
 
+def cmd_teacher(args):
+    """Offline teacher-transcription pass (the reference's
+    ``TeacherStudentLearning`` + transcript.json merge,
+    federated/src/federated_main.py:29-68,283-298): transcribe an
+    unlabeled CSV's clips and write (a) a transcript JSON (path -> text)
+    and (b) a labeled CSV ready for ``federated --unsup_train_csv``.
+
+    Teachers: ``--whisper_hf <dir>`` ports an HF
+    WhisperForConditionalGeneration checkpoint (long-form windows +
+    temperature-fallback re-decode, models/whisper.py); the default uses
+    this framework's own fine-tuned CTC model (``-model_in``) as a
+    self-training teacher."""
+    import csv as _csv
+
+    exs, tok = _load_examples(args, args.train_csv, with_transcript=False)
+    if args.whisper_hf:
+        import torch
+        from transformers import WhisperTokenizer
+
+        from .data.teacher import WhisperTeacher
+        from .models.whisper import WhisperConfigT, port_hf_whisper
+
+        d = Path(args.whisper_hf)
+        with open(d / "config.json") as f:
+            wcfg = WhisperConfigT.from_hf_config(json.load(f))
+        sd = torch.load(d / "pytorch_model.bin", map_location="cpu",
+                        weights_only=True)
+        wtok = WhisperTokenizer.from_pretrained(str(d))
+        teacher = WhisperTeacher(
+            wcfg, port_hf_whisper(sd, wcfg),
+            lambda ids: wtok.decode(ids, skip_special_tokens=True))
+        trs = teacher.transcribe(exs, batch_size=args.eval_batch_size)
+    else:
+        from .data.teacher import transcribe_with_ctc_model
+
+        cfg = _dacs_cfg(args)
+        params = load_params(cfg, args.model_in_path, args.seed)
+        trs = transcribe_with_ctc_model(cfg, params, exs, tok,
+                                        batch_size=args.eval_batch_size)
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out.with_suffix(".json"), "w") as f:
+        json.dump(trs, f, indent=1)
+    # labeled CSV: same shape as the training CSVs (csv2dataset consumes
+    # path,sentence); empty transcripts drop, as the reference's
+    # FilterAvailAudios does
+    kept = 0
+    with open(out, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["path", "sentence"])
+        w.writeheader()
+        for e in exs:
+            text = (trs.get(e.path) or "").upper().strip()
+            if text:
+                w.writerow({"path": e.path, "sentence": text})
+                kept += 1
+    print(json.dumps({"transcribed": len(trs), "kept": kept,
+                      "csv": str(out), "json": str(out.with_suffix('.json'))}))
+
+
 def cmd_export_hf(args):
     """Export trained params to an HF torch state_dict (pytorch_model.bin
     layout) so reference-style torch pipelines can load them
@@ -928,6 +987,22 @@ def main(argv=None):
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_text)
+
+    p = sub.add_parser("teacher",
+                       help="offline teacher transcription: label an "
+                            "unlabeled CSV (the reference's whisper "
+                            "TeacherStudentLearning pass)")
+    _add_common(p)
+    p.add_argument("--out", required=True,
+                   help="output CSV path (path,sentence — feed to "
+                        "`federated --unsup_train_csv`); a transcript "
+                        "JSON sidecar is written next to it")
+    p.add_argument("--whisper_hf", default=None,
+                   help="HF WhisperForConditionalGeneration checkpoint dir "
+                        "(config.json + pytorch_model.bin + tokenizer); "
+                        "default teacher is this framework's CTC model "
+                        "from -model_in (self-training)")
+    p.set_defaults(fn=cmd_teacher)
 
     p = sub.add_parser("transcribe",
                        help="batch-transcribe WAV file(s) without the CSV "

@@ -63,6 +63,34 @@ class WhisperConfigT:
                    sot_token=1, eot_token=0, language_token=2, task_token=3,
                    no_timestamps_token=4)
 
+    @classmethod
+    def from_hf_config(cls, hf) -> "WhisperConfigT":
+        """Build from an HF ``WhisperConfig`` (object or dict) — the shape
+        fields come from the config; the ``<|en|>``/``<|transcribe|>``/
+        ``<|notimestamps|>`` prompt tokens follow whisper's multilingual
+        vocab layout (eot + 1/ + 102/ + 106), matching the reference's
+        ``language='en'`` transcription options
+        (federated/src/federated_main.py:29-68)."""
+        get = (hf.get if isinstance(hf, dict)
+               else lambda k, d=None: getattr(hf, k, d))
+        eot = int(get("eos_token_id", 50257))
+        sot = int(get("decoder_start_token_id", eot + 1))
+        return cls(
+            vocab_size=int(get("vocab_size", 51865)),
+            num_mel_bins=int(get("num_mel_bins", 80)),
+            d_model=int(get("d_model", 1280)),
+            encoder_layers=int(get("encoder_layers", 32)),
+            decoder_layers=int(get("decoder_layers", 32)),
+            num_heads=int(get("encoder_attention_heads", 20)),
+            ffn_dim=int(get("encoder_ffn_dim", 5120)),
+            max_source_positions=int(get("max_source_positions", 1500)),
+            max_target_positions=int(get("max_target_positions", 448)),
+            sot_token=sot, eot_token=eot,
+            language_token=sot + 1,        # <|en|> is the first language id
+            task_token=eot + 102,          # <|transcribe|>
+            no_timestamps_token=eot + 106,  # <|notimestamps|>
+        )
+
     def forced_tokens(self) -> list[int]:
         """The reference's ``language='en'`` transcription prompt."""
         return [self.sot_token, self.language_token, self.task_token,

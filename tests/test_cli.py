@@ -288,3 +288,26 @@ def test_cli_stream_report(data_dir, tmp_path, capsys):
                 "flip_rate"} <= set(r)
     # past-the-utterance right context finalizes nothing early
     assert rows[-1]["finalized_frames"] == 0
+
+
+def test_cli_teacher_self_labeling(data_dir, tmp_path, capsys):
+    """`cli teacher` (the reference's offline TeacherStudentLearning pass,
+    federated_main.py:29-68): label an unlabeled CSV with the framework's
+    own CTC model, write the path,sentence CSV + transcript JSON, and the
+    CSV round-trips through the loader as labeled examples."""
+    out_csv = tmp_path / "teacher" / "unsup.csv"
+    main(["teacher", "--out", str(out_csv),
+          *_common(data_dir, tmp_path)])
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["transcribed"] == 4  # train.csv carries 4 utterances
+    assert (tmp_path / "teacher" / "unsup.json").exists()
+    import csv as _csv
+
+    with open(out_csv, newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert info["kept"] == len(rows)
+    for r in rows:
+        assert r["sentence"] == r["sentence"].upper().strip()
+    # the JSON sidecar mirrors the CSV content for the kept rows
+    trs = json.loads((tmp_path / "teacher" / "unsup.json").read_text())
+    assert set(r["path"] for r in rows) <= set(trs)

@@ -268,3 +268,27 @@ def test_compression_ratio_flags_repetition():
     assert compression_ratio("GO " * 60) > 2.4
     assert compression_ratio(
         "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AND RUNS AWAY") < 2.4
+
+
+def test_from_hf_config_maps_large_v2_and_tiny():
+    """WhisperConfigT.from_hf_config: shape fields from the HF config,
+    prompt tokens by whisper's multilingual vocab layout — large-v2 ids
+    must come out exactly as the canonical defaults."""
+    from privacy_preserve_federated_asr_tpu.models.whisper import WhisperConfigT
+
+    hf_large = {"vocab_size": 51865, "num_mel_bins": 80, "d_model": 1280,
+                "encoder_layers": 32, "decoder_layers": 32,
+                "encoder_attention_heads": 20, "encoder_ffn_dim": 5120,
+                "max_source_positions": 1500, "max_target_positions": 448,
+                "eos_token_id": 50257, "decoder_start_token_id": 50258}
+    assert WhisperConfigT.from_hf_config(hf_large) == WhisperConfigT.large_v2()
+
+    hf_tiny = {"vocab_size": 51865, "num_mel_bins": 80, "d_model": 384,
+               "encoder_layers": 4, "decoder_layers": 4,
+               "encoder_attention_heads": 6, "encoder_ffn_dim": 1536,
+               "max_source_positions": 1500, "max_target_positions": 448,
+               "eos_token_id": 50257, "decoder_start_token_id": 50258}
+    c = WhisperConfigT.from_hf_config(hf_tiny)
+    assert (c.d_model, c.num_heads, c.encoder_layers) == (384, 6, 4)
+    assert (c.sot_token, c.language_token, c.task_token,
+            c.no_timestamps_token) == (50258, 50259, 50359, 50363)
