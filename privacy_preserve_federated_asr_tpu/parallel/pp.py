@@ -150,10 +150,14 @@ def make_pp_stack(bcfg, dtype, mesh: Mesh, *, axis: str = "pipe",
             outs = outs * (stage == n_stages - 1).astype(outs.dtype)
             return jax.lax.psum(outs, axis)
 
+        # manual over the pipe axis only: any OTHER mesh axis (e.g. "data"
+        # under dp x pp) stays auto, so GSPMD keeps batch rows sharded and
+        # inserts the per-microbatch compute partitioning by itself
         outs = jax.shard_map(
             device_fn, mesh=mesh,
             in_specs=(P(axis), P(), P(), P()),
             out_specs=P(),
+            axis_names={axis}, check_vma=False,
         )(layer_params, xs, kms, rng)
         return outs.reshape(b, t, d)
 

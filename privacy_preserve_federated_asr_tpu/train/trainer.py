@@ -116,8 +116,9 @@ class Trainer:
         if tcfg.pp > 1:
             # GPipe pipeline over a "pipe" mesh axis (parallel/pp.py): the
             # pipelined forward is wired for the DACS model's stacked
-            # scan_layers layout; dp/tp composition is a separate mesh
-            # story not offered yet
+            # scan_layers layout. Composes with dp (mesh ("data", "pipe"):
+            # batch rows GSPMD-sharded over "data", the pipe axis manual
+            # inside the pipelined forward); tp x pp is not offered.
             from ..parallel.pp import validate_pp
 
             if cfg.method != "dacs":
@@ -127,12 +128,17 @@ class Trainer:
                 raise ValueError("pp > 1 requires scan_layers=True (the "
                                  "stacked [L, ...] param layout the "
                                  "pipeline shards)")
-            if tcfg.dp > 1 or tcfg.tp > 1:
-                raise ValueError("pp composes with dp/tp via the federated "
-                                 "mesh only; Trainer pp must run alone")
+            if tcfg.tp > 1:
+                raise ValueError("tp x pp is not supported (Megatron "
+                                 "sharding inside the manual pipe stage is "
+                                 "a separate story); compose pp with dp")
             mb = tcfg.pp_microbatches or tcfg.pp
             validate_pp(cfg.backbone, tcfg.pp, tcfg.batch_size, mb)
             validate_pp(cfg.backbone, tcfg.pp, tcfg.eval_batch_size, mb)
+            if tcfg.dp > 1 and (tcfg.batch_size // mb) % tcfg.dp:
+                raise ValueError(
+                    f"dp x pp: each microbatch ({tcfg.batch_size}/{mb} rows) "
+                    f"must divide by dp={tcfg.dp} so its rows shard evenly")
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
@@ -192,7 +198,7 @@ class Trainer:
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)
         self._batch_sharding = None
-        if tcfg.dp > 1 or tcfg.tp > 1:
+        if (tcfg.dp > 1 or tcfg.tp > 1) and tcfg.pp == 1:
             # GSPMD parallelism over a ("data", "model") mesh:
             #   dp — batch dim sharded over "data", jit inserts the gradient
             #        all-reduce (SURVEY.md §2.6: replaces torch
@@ -231,15 +237,23 @@ class Trainer:
             from ..parallel.pp import make_pp_forward
 
             devices = jax.devices()
-            if len(devices) < tcfg.pp:
-                raise ValueError(f"pp={tcfg.pp} needs {tcfg.pp} devices, "
-                                 f"have {len(devices)}")
-            mesh = Mesh(np.array(devices[:tcfg.pp]), ("pipe",))
+            n = tcfg.dp * tcfg.pp
+            if len(devices) < n:
+                raise ValueError(f"dp={tcfg.dp} x pp={tcfg.pp} needs {n} "
+                                 f"devices, have {len(devices)}")
+            if tcfg.dp > 1:
+                # dp x pp: batch rows GSPMD-sharded over "data"; the pipe
+                # axis is manual inside the pipelined forward's shard_map
+                mesh = Mesh(np.array(devices[:n]).reshape(tcfg.dp, tcfg.pp),
+                            ("data", "pipe"))
+                self._batch_sharding = NamedSharding(mesh, P("data"))
+            else:
+                mesh = Mesh(np.array(devices[:n]), ("pipe",))
+                self._batch_sharding = NamedSharding(mesh, P())
             # params/opt state replicated on every stage; the stacked layer
             # leaves are re-sharded over "pipe" inside the pipelined
             # forward's shard_map
             self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
-            self._batch_sharding = NamedSharding(mesh, P())
             forward_fn = make_pp_forward(
                 self.model, mesh,
                 num_microbatches=tcfg.pp_microbatches or tcfg.pp,

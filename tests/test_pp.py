@@ -130,6 +130,36 @@ def test_trainer_pp_matches_single_device():
                                    rtol=2e-4, atol=1e-6, err_msg="/".join(path))
 
 
+def test_trainer_dp_times_pp_matches_single_device():
+    """dp=2 x pp=2 over a ("data", "pipe") mesh: batch rows GSPMD-sharded
+    over "data" while the layer stack pipelines over "pipe" — must equal
+    single-device training."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (run under the 8-virtual-CPU env)")
+    cfg = _cfg(stage=0)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(9))
+    exs = _examples(8, seed=9)
+    base = dict(num_epochs=1, batch_size=4, time_multiple=3200,
+                warmup_steps=1, logging_steps=1000, learning_rate=1e-4,
+                scan_layers=True)
+
+    tr1 = Trainer(cfg, jax.tree.map(np.array, params), exs, None, TOK,
+                  TrainerConfig(**base))
+    p1 = jax.device_get(tr1.train().params)
+    tr2 = Trainer(cfg, jax.tree.map(np.array, params), exs, None, TOK,
+                  TrainerConfig(**base, dp=2, pp=2, pp_microbatches=2,
+                                cache_frontend=False))
+    p2 = jax.device_get(tr2.train().params)
+    for path in (("lm_head", "kernel"),
+                 ("backbone", "encoder", "layers_scan", "layer", "attention",
+                  "q_proj", "kernel")):
+        a, b = p1, p2
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6, err_msg="/".join(path))
+
+
 def test_pp_lowered_contains_permute_ring():
     """The lowered pipeline really is a pipeline: layer params arrive
     pre-sharded over "pipe" (no all-gather materializes the full stack) and
@@ -154,9 +184,9 @@ def test_trainer_pp_validation():
     exs = _examples(4)
     with pytest.raises(ValueError, match="scan_layers"):
         Trainer(cfg, params, exs, None, TOK, TrainerConfig(pp=2))
-    with pytest.raises(ValueError, match="alone"):
+    with pytest.raises(ValueError, match="tp x pp"):
         Trainer(cfg, params, exs, None, TOK,
-                TrainerConfig(pp=2, dp=2, scan_layers=True))
+                TrainerConfig(pp=2, tp=2, scan_layers=True))
     with pytest.raises(ValueError, match="num_hidden_layers"):
         Trainer(cfg, params, exs, None, TOK,
                 TrainerConfig(pp=3, scan_layers=True))
