@@ -205,6 +205,11 @@ def _add_common(p):
     p.add_argument("--pp_microbatches", type=int, default=None,
                    help="GPipe microbatches per batch (default = --pp; "
                         "more microbatches = smaller pipeline bubble)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel chips: stack activations' time "
+                        "axis sharded over a 'seq' mesh axis "
+                        "(parallel/sp.py; needs --scan_layers; for long-T "
+                        "inputs whose activations exceed one chip)")
     # the reference's path.sh exports DACS_dataRoot/DACS_codeRoot and
     # scripts read them at import (federated/src/utils.py:22-23,53) —
     # honored here as CLI defaults
@@ -250,7 +255,7 @@ def cmd_train(args):
         eval_steps=args.eval_steps, seed=args.seed,
         compute_dtype=args.compute_dtype, remat=args.remat,
         scan_layers=args.scan_layers, dp=args.dp, tp=args.tp,
-        pp=args.pp, pp_microbatches=args.pp_microbatches,
+        pp=args.pp, pp_microbatches=args.pp_microbatches, sp=args.sp,
         cache_encoder=False if args.no_cache_encoder else None,
         cache_frontend=False if args.no_cache_frontend else None,
         log_file=args.log_path, save_dir=args.model_out_path,

@@ -1,5 +1,7 @@
 from .mesh import make_mesh, make_multislice_mesh, shard_leading_axis, replicated
 from .pp import make_pp_forward, make_pp_stack, validate_pp
+from .sp import make_sp_forward, make_sp_stack
+from .stacked import make_composed_forward
 from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
 from .fed import (
     NETWORKS,
@@ -24,6 +26,9 @@ __all__ = [
     "make_pp_forward",
     "make_pp_stack",
     "validate_pp",
+    "make_sp_forward",
+    "make_sp_stack",
+    "make_composed_forward",
     "tp_partition_spec",
     "tp_shardings",
     "validate_tp_divisibility",

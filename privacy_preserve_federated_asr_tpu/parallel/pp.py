@@ -48,7 +48,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -171,91 +170,12 @@ def make_pp_forward(model, mesh: Mesh, *, axis: str = "pipe",
     Returns ``forward(params, input_values, input_lengths, deterministic,
     backbone_deterministic, rngs) -> DACSOutputs`` — the signature
     ``train/steps.py`` consumes via its ``forward_fn`` hook. Everything
-    before the stack (conv frontend, feature projection, SpecAugment,
-    positional conv, pre-LN, dropout) and after it (final LN, heads) is
-    the SAME flax modules applied functionally on the vanilla param tree,
-    so checkpoints/FedAvg/export are untouched by PP.
+    outside the stack is the SAME flax modules applied functionally on the
+    vanilla param tree (``parallel/stacked.py``), so checkpoints / FedAvg /
+    export are untouched by PP.
     """
-    from ..models.backbone import (
-        FeatureEncoder,
-        FeatureProjection,
-        PositionalConvEmbedding,
-        feat_extract_output_lengths,
-        sample_span_mask,
-    )
-    from ..models.dacs import DACSModel
+    from .stacked import make_composed_forward
 
-    cfg = model.cfg
-    bcfg = cfg.backbone
-    dtype = model.dtype
-    stack_fn = make_pp_stack(bcfg, dtype, mesh, axis=axis,
+    stack_fn = make_pp_stack(model.cfg.backbone, model.dtype, mesh, axis=axis,
                              num_microbatches=num_microbatches, remat=remat)
-
-    def forward(params, input_values, input_lengths=None,
-                deterministic: bool = True,
-                backbone_deterministic: bool | None = None, rngs=None):
-        if backbone_deterministic is None:
-            backbone_deterministic = deterministic
-        rngs = dict(rngs or {})
-        dkey = rngs.get("dropout", jax.random.PRNGKey(0))
-        det = backbone_deterministic
-
-        t_frames = feat_extract_output_lengths(bcfg, input_values.shape[1])
-        if input_lengths is None:
-            input_lengths = jnp.full((input_values.shape[0],),
-                                     input_values.shape[1], jnp.int32)
-        frame_lengths = feat_extract_output_lengths(bcfg, input_lengths)
-        frame_mask = (jnp.arange(t_frames)[None, :]
-                      < frame_lengths[:, None]).astype(jnp.int32)
-
-        bp = params["backbone"]
-        feats = FeatureEncoder(bcfg, dtype).apply(
-            {"params": bp["feature_extractor"]}, input_values)
-        x = FeatureProjection(bcfg, dtype).apply(
-            {"params": bp["feature_projection"]}, feats, det,
-            rngs=None if det else {"dropout": jax.random.fold_in(dkey, 101)})
-        if not det and (bcfg.mask_time_prob > 0 or bcfg.mask_feature_prob > 0):
-            # SSLBackbone._spec_augment, functionally
-            b, t, d = x.shape
-            if bcfg.mask_time_prob > 0:
-                tm = sample_span_mask(
-                    jax.random.fold_in(dkey, 102), (b, t),
-                    bcfg.mask_time_prob, bcfg.mask_time_length, frame_mask)
-                x = jnp.where(tm[:, :, None],
-                              bp["masked_spec_embed"].astype(x.dtype)[None, None],
-                              x)
-            if bcfg.mask_feature_prob > 0:
-                fm = sample_span_mask(
-                    jax.random.fold_in(dkey, 103), (b, d),
-                    bcfg.mask_feature_prob, bcfg.mask_feature_length)
-                x = jnp.where(fm[:, None, :], jnp.zeros((), x.dtype), x)
-
-        # Encoder pre-stack (models/backbone.py Encoder.__call__ order)
-        ep = bp["encoder"]
-        x = x * frame_mask.astype(dtype)[:, :, None]
-        x = x + PositionalConvEmbedding(bcfg, dtype).apply(
-            {"params": ep["pos_conv_embed"]}, x)
-        if not bcfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=bcfg.layer_norm_eps).apply(
-                {"params": ep["layer_norm"]}, x).astype(dtype)
-        x = nn.Dropout(bcfg.hidden_dropout).apply(
-            {}, x, deterministic=det,
-            rngs=None if det else {"dropout": jax.random.fold_in(dkey, 104)})
-
-        if "layers_scan" not in ep:
-            raise ValueError(
-                "pipeline parallelism needs the scan_layers (stacked "
-                "[L, ...]) param layout — construct the Trainer/model with "
-                "scan_layers=True")
-        x = stack_fn(ep["layers_scan"]["layer"], x, frame_mask,
-                     jax.random.fold_in(dkey, 105), det)
-
-        if bcfg.do_stable_layer_norm:
-            x = nn.LayerNorm(epsilon=bcfg.layer_norm_eps).apply(
-                {"params": ep["layer_norm"]}, x).astype(dtype)
-
-        return model.apply(
-            {"params": params}, x, frame_mask, frame_lengths, deterministic,
-            method=DACSModel.apply_heads, rngs=rngs)
-
-    return forward
+    return make_composed_forward(model, stack_fn)

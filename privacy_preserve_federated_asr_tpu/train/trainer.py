@@ -68,6 +68,8 @@ class TrainerConfig:
     tp: int = 1  # tensor-parallel chips: encoder matmuls sharded over "model"
     pp: int = 1  # pipeline stages: encoder layer stack over a "pipe" axis
     pp_microbatches: int | None = None  # GPipe microbatches (default = pp)
+    sp: int = 1  # sequence-parallel chips: stack activations' time axis
+    #              sharded over a "seq" axis (long-T memory relief)
     time_multiple: int = 16000
     label_multiple: int = 32
     max_samples: int | None = None           # drop utterances longer than this
@@ -139,6 +141,26 @@ class Trainer:
                 raise ValueError(
                     f"dp x pp: each microbatch ({tcfg.batch_size}/{mb} rows) "
                     f"must divide by dp={tcfg.dp} so its rows shard evenly")
+        if tcfg.sp > 1:
+            # Sequence parallelism over a "seq" mesh axis (parallel/sp.py):
+            # stack activations' time axis GSPMD-sharded. Composes with dp
+            # (mesh ("data", "seq")); sp x tp / sp x pp are not offered.
+            if cfg.method != "dacs":
+                raise ValueError("sp > 1 is wired for the DACS model only "
+                                 f"(method={cfg.method!r})")
+            if not tcfg.scan_layers:
+                raise ValueError("sp > 1 requires scan_layers=True (the "
+                                 "stacked [L, ...] param layout the "
+                                 "sequence-parallel stack scans)")
+            if tcfg.tp > 1 or tcfg.pp > 1:
+                raise ValueError("sp composes with dp only "
+                                 f"(got tp={tcfg.tp}, pp={tcfg.pp})")
+            if cfg.backbone.attention_impl == "pallas":
+                raise ValueError("sp > 1 requires attention_impl 'xla'/'auto'"
+                                 " (the Pallas kernel is opaque to GSPMD)")
+            if cfg.backbone.attention_impl == "auto":
+                cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
+                    cfg.backbone, attention_impl="xla"))
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
@@ -198,7 +220,7 @@ class Trainer:
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)
         self._batch_sharding = None
-        if (tcfg.dp > 1 or tcfg.tp > 1) and tcfg.pp == 1:
+        if (tcfg.dp > 1 or tcfg.tp > 1) and tcfg.pp == 1 and tcfg.sp == 1:
             # GSPMD parallelism over a ("data", "model") mesh:
             #   dp — batch dim sharded over "data", jit inserts the gradient
             #        all-reduce (SURVEY.md §2.6: replaces torch
@@ -258,6 +280,28 @@ class Trainer:
                 self.model, mesh,
                 num_microbatches=tcfg.pp_microbatches or tcfg.pp,
                 remat=tcfg.remat)
+        if tcfg.sp > 1:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ..parallel.sp import make_sp_forward
+
+            devices = jax.devices()
+            n = tcfg.dp * tcfg.sp
+            if len(devices) < n:
+                raise ValueError(f"dp={tcfg.dp} x sp={tcfg.sp} needs {n} "
+                                 f"devices, have {len(devices)}")
+            if tcfg.batch_size % tcfg.dp or tcfg.eval_batch_size % tcfg.dp:
+                raise ValueError(
+                    f"batch sizes ({tcfg.batch_size}/{tcfg.eval_batch_size}) "
+                    f"must be divisible by dp={tcfg.dp}")
+            # batch rows shard over "data" exactly like plain dp; the "seq"
+            # axis only shards stack-internal activations (remat=True keeps
+            # the relieved activations from being saved anyway)
+            mesh = Mesh(np.array(devices[:n]).reshape(tcfg.dp, tcfg.sp),
+                        ("data", "seq"))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
+            self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
+            forward_fn = make_sp_forward(self.model, mesh, remat=tcfg.remat)
         self._train_step = jax.jit(
             make_train_step(self.model, self.tx, cfg, forward_fn=forward_fn),
             donate_argnums=(0,))
@@ -274,7 +318,7 @@ class Trainer:
             raise ValueError("frozen-forward caching is wired for the DACS "
                              f"model only (method={cfg.method!r})")
         single_device = (tcfg.dp == 1 and tcfg.tp == 1 and tcfg.pp == 1
-                         and self.recipe.supports_cache)
+                         and tcfg.sp == 1 and self.recipe.supports_cache)
         self._cache_encoder = (
             not self.recipe.backbone_trains(cfg.stage) and single_device
             if tcfg.cache_encoder is None
