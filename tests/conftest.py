@@ -22,6 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache (works on the CPU backend since jaxlib 0.4+;
+# probed on this box's jax 0.9.0): XLA compiles dominate the suite's wall
+# time on a 1-core host, and most test programs repeat run-to-run. First
+# run populates ~/.jax_test_cache; repeat runs (re-running a chunk, the
+# next round's CI pass) skip every compile >1 s. Keyed by backend + config,
+# so the forced-highest-precision CPU entries cannot collide with the TPU
+# bench cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
