@@ -193,6 +193,15 @@ def _add_common(p):
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel chips: batch sharded over a 'data' "
                         "mesh axis, params replicated (GSPMD all-reduce)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1 with --dp: shard the fp32 Adam moments "
+                        "over the 'data' axis (parallel/zero.py) — "
+                        "reduce-scatter grads + all-gather updates; frees "
+                        "~2x param bytes of HBM per chip")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches averaged per optimizer update "
+                        "(optax.MultiSteps): effective batch = batch_size "
+                        "x grad_accum at batch_size activation memory")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel chips: encoder matmuls "
                         "Megatron-sharded over a 'model' mesh axis "
@@ -256,6 +265,7 @@ def cmd_train(args):
         compute_dtype=args.compute_dtype, remat=args.remat,
         scan_layers=args.scan_layers, dp=args.dp, tp=args.tp,
         pp=args.pp, pp_microbatches=args.pp_microbatches, sp=args.sp,
+        zero1=args.zero1, grad_accum=args.grad_accum,
         cache_encoder=False if args.no_cache_encoder else None,
         cache_frontend=False if args.no_cache_frontend else None,
         log_file=args.log_path, save_dir=args.model_out_path,

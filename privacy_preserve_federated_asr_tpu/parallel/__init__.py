@@ -3,6 +3,11 @@ from .pp import make_pp_forward, make_pp_stack, validate_pp
 from .sp import make_sp_forward, make_sp_stack
 from .stacked import make_composed_forward
 from .tp import tp_partition_spec, tp_shardings, validate_tp_divisibility
+from .zero import (
+    zero1_opt_shardings,
+    zero1_partition_spec,
+    zero1_state_shardings,
+)
 from .fed import (
     NETWORKS,
     average_weights,
@@ -32,6 +37,9 @@ __all__ = [
     "tp_partition_spec",
     "tp_shardings",
     "validate_tp_divisibility",
+    "zero1_opt_shardings",
+    "zero1_partition_spec",
+    "zero1_state_shardings",
     "NETWORKS",
     "average_weights",
     "dp_fedavg_stacked",

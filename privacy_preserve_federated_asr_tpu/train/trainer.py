@@ -65,6 +65,12 @@ class TrainerConfig:
     remat: bool = False
     scan_layers: bool = False  # one compiled layer scanned over N (fast compile)
     dp: int = 1  # data-parallel chips: batch sharded over a "data" mesh axis
+    zero1: bool = False  # ZeRO-1: shard Adam moments over the "data" axis
+    #                      (parallel/zero.py; reduce-scatter grads into the
+    #                      moment shards + all-gather updates, via GSPMD)
+    grad_accum: int = 1  # micro-batches accumulated per optimizer update
+    #                      (optax.MultiSteps; effective batch = batch_size
+    #                      x grad_accum at batch_size activation memory)
     tp: int = 1  # tensor-parallel chips: encoder matmuls sharded over "model"
     pp: int = 1  # pipeline stages: encoder layer stack over a "pipe" axis
     pp_microbatches: int | None = None  # GPipe microbatches (default = pp)
@@ -161,6 +167,18 @@ class Trainer:
             if cfg.backbone.attention_impl == "auto":
                 cfg = dataclasses.replace(cfg, backbone=dataclasses.replace(
                     cfg.backbone, attention_impl="xla"))
+        if tcfg.zero1:
+            # ZeRO-1 (parallel/zero.py): Adam moments sharded over "data".
+            # Needs dp > 1 (the shards live on the data axis) and plain-dp
+            # GSPMD (under tp the moments are already Megatron-sharded over
+            # "model"; pp/sp manage state placement themselves).
+            if tcfg.dp < 2 or tcfg.tp > 1 or tcfg.pp > 1 or tcfg.sp > 1:
+                raise ValueError(
+                    "zero1 shards optimizer state over the 'data' axis: it "
+                    f"requires dp >= 2 and tp == pp == sp == 1 (got dp="
+                    f"{tcfg.dp}, tp={tcfg.tp}, pp={tcfg.pp}, sp={tcfg.sp})")
+        if tcfg.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {tcfg.grad_accum}")
         from ..models.recipes import get_recipe, validate_stage
 
         validate_stage(cfg)
@@ -205,7 +223,11 @@ class Trainer:
                 label_multiple=tcfg.label_multiple, seed=tcfg.seed)
             if eval_examples else None
         )
-        total_steps = max(len(self.train_batcher) * tcfg.num_epochs, 1)
+        # the lr schedule counts OPTIMIZER updates: with grad_accum > 1 the
+        # inner transformation steps once per k micro-batches
+        total_steps = max(
+            len(self.train_batcher) * tcfg.num_epochs // max(tcfg.grad_accum, 1),
+            1)
         self.tx = make_optimizer(
             jax.tree.map(lambda x: jax.ShapeDtypeStruct(np.shape(x), jnp.float32), params),
             stage=cfg.stage,
@@ -216,10 +238,22 @@ class Trainer:
             total_steps=total_steps,
             trainable_pred=self.recipe.trainable(cfg.stage),
         )
+        if tcfg.grad_accum > 1:
+            # Gradient accumulation: k micro-batches per optimizer update
+            # (the lr schedule above already counts optimizer updates —
+            # MultiSteps only steps the inner transformation every k-th
+            # call, so its count matches). Micro-gradients are SUMMED, not
+            # averaged: the CTC objective is a sum over batch rows
+            # (ctc_loss_reduction="sum", HF parity), so summing makes
+            # k micro-batches of B rows equal ONE batch of k x B rows
+            # exactly (up to the clip, which sees the same total gradient).
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=tcfg.grad_accum,
+                                       use_grad_mean=False)
         self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)
         self._batch_sharding = None
+        self._zero1_sh = None
         if (tcfg.dp > 1 or tcfg.tp > 1) and tcfg.pp == 1 and tcfg.sp == 1:
             # GSPMD parallelism over a ("data", "model") mesh:
             #   dp — batch dim sharded over "data", jit inserts the gradient
@@ -250,6 +284,15 @@ class Trainer:
                 # replicated from tp_shardings
                 self.state = jax.device_put(
                     self.state, tp_shardings(mesh, self.state))
+            elif tcfg.zero1:
+                # ZeRO-1: params replicated, Adam moments sharded over
+                # "data" (parallel/zero.py) — GSPMD turns the dp gradient
+                # all-reduce into reduce-scatter + update all-gather
+                from ..parallel.zero import zero1_state_shardings
+
+                sh = zero1_state_shardings(mesh, self.state)
+                self._zero1_sh = sh
+                self.state = jax.device_put(self.state, sh)
             else:
                 self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
         forward_fn = None
@@ -302,9 +345,21 @@ class Trainer:
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self.state = jax.device_put(self.state, NamedSharding(mesh, P()))
             forward_fn = make_sp_forward(self.model, mesh, remat=tcfg.remat)
-        self._train_step = jax.jit(
-            make_train_step(self.model, self.tx, cfg, forward_fn=forward_fn),
-            donate_argnums=(0,))
+        train_step = make_train_step(self.model, self.tx, cfg,
+                                     forward_fn=forward_fn)
+        if self._zero1_sh is not None:
+            inner_step, state_sh = train_step, self._zero1_sh
+
+            def train_step(state, batch):
+                new_state, metrics = inner_step(state, batch)
+                # pin the updated state to the ZeRO layout: moments stay
+                # sharded across steps, params/step/rng stay replicated
+                # (otherwise GSPMD is free to gather the moments back — or
+                # to leave the params sharded, which evaluation and the
+                # checkpoint paths do not expect)
+                return jax.tree.map(jax.lax.with_sharding_constraint,
+                                    new_state, state_sh), metrics
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
         eval_step = make_eval_step(self.model, cfg, forward_fn=forward_fn)
         self._eval_step = jax.jit(lambda state, batch: eval_step(state.params, batch))
         self._eval_cache = None  # staged eval batches (eval set is static)
