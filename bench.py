@@ -14,7 +14,12 @@ samples/s on one GPU (fp16, batch 1, gradient checkpointing) — HF Trainer
 ``train_samples_per_second`` from the committed FL logs. ``vs_baseline`` is
 the speedup over that number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}. The
+line additionally carries ``fl_round_stage0`` / ``fl_round_stage2``
+sub-objects — one timed stage-0 device-resident federated engine round and
+one stage-2 cached-encoder round at small fixed shapes (same median/trial
+discipline) — so the artifact of record regression-tracks the federated
+path, not just the centralized step (VERDICT r3 #3).
 """
 
 from __future__ import annotations
@@ -86,11 +91,129 @@ def _wait_for_backend() -> None:
         _t.sleep(30)
 
 
+def _fl_round_metrics(stage: int, *, n_clients=2, utts_per_client=16,
+                      batch=8, seconds=5.0, trials=3) -> dict:
+    """Median round time of the jitted federated engine round (vmap over
+    clients + FedAvg + graft) on the flagship model at small fixed shapes.
+    stage=0 runs the device-resident full-backbone path; stage=2 runs the
+    cached-encoder (res_h) head-only path — the two engine fast paths
+    PERF.md §5 measures. Shapes are fixed so the numbers are comparable
+    across rounds/commits."""
+    import jax
+    import numpy as np
+
+    from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+    from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+    from privacy_preserve_federated_asr_tpu.federated import (
+        FederatedConfig,
+        FederatedEngine,
+    )
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    samples = int(16000 * seconds)
+    tok = CTCCharTokenizer()
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+
+    def mk_examples(n, seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for i in range(n):
+            arr = r.normal(0, 0.5, size=samples).astype(np.float32)
+            text = "THE BOY IS STEALING COOKIES FROM THE JAR"[: 8 + i % 24]
+            out.append(AsrExample(
+                path=f"S{seed}{i:03d}_PAR_0_0.wav", array=arr, text=text,
+                dementia_label=i % 2, input_values=arr,
+                labels=np.asarray(tok.encode(text), dtype=np.int32)))
+        return out
+
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=n_clients, frac=1.0, local_ep=1,
+        batch_size=batch, time_multiple=samples, warmup_steps=1,
+        compute_dtype="bfloat16")
+    eng = FederatedEngine(
+        cfg, fcfg,
+        {i: mk_examples(utts_per_client, seed=i) for i in range(n_clients)},
+        None, None, tok, params)
+
+    eng.run_rounds(stage=stage, num_rounds=1)  # compile + warm caches
+    rounds_per_trial = 2
+    rates, times = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        eng.run_rounds(stage=stage, num_rounds=rounds_per_trial)
+        dt = (time.perf_counter() - t0) / rounds_per_trial
+        times.append(dt)
+        rates.append(n_clients * utts_per_client / dt)
+    return {
+        "round_ms": round(float(np.median(times)) * 1e3, 1),
+        "utt_per_sec": round(float(np.median(rates)), 1),
+        "trials_utt_per_sec": [round(r, 1) for r in rates],
+        "shape": f"K={n_clients} {utts_per_client}utt x {seconds}s B={batch}",
+    }
+
+
+def _fl_rows_subprocess() -> dict:
+    """Run the federated-round metrics in a SUBPROCESS with its own time
+    budget, BEFORE this process touches the TPU. Isolation matters twice:
+    (a) a wedged engine round (tunnel hang) degrades to an "error" field
+    instead of eating the headline's watchdog; (b) the axon tunnel serves
+    one registered process at a time, so the child must run before the
+    parent initializes its TPU client."""
+    import os
+    import subprocess
+    import sys
+
+    timeout = float(os.environ.get("BENCH_FL_TIMEOUT_S", "1500"))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--fl-only"],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {k: {"error": f"timeout after {timeout:.0f}s"}
+                for k in ("fl_round_stage0", "fl_round_stage2")}
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {k: {"error": f"rc={proc.returncode}: {' | '.join(tail)}"[:200]}
+            for k in ("fl_round_stage0", "fl_round_stage2")}
+
+
+def _fl_only_main() -> None:
+    import os
+
+    _arm_watchdog(float(os.environ.get("BENCH_FL_TIMEOUT_S", "1500")) - 30.0)
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rows = {}
+    for st, key in ((0, "fl_round_stage0"), (2, "fl_round_stage2")):
+        try:
+            rows[key] = _fl_round_metrics(st)
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            rows[key] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    print(json.dumps(rows), flush=True)
+
+
 def main() -> None:
     import os
 
-    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+    # budget covers: backend wait (<=900s) + FL subprocess (<=1500s) +
+    # the headline's own compile/run
+    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "3600")))
     _wait_for_backend()
+    fl_rows = _fl_rows_subprocess()
     import jax
 
     # RBG PRNG: threefry dropout-mask generation costs ~55 ms/step on this
@@ -201,10 +324,16 @@ def main() -> None:
         "steps_per_trial": MEASURE_STEPS,
         # kernel-level metric: device-resident batch, one-time frontend
         # cache build and host input pipeline excluded; end-to-end engine
-        # rounds are PERF.md §5 (110-538 utt/s depending on stage/path)
+        # rounds are the fl_round_* fields below (and PERF.md §5)
         "scope": "steady_state_train_step",
+        **fl_rows,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--fl-only" in sys.argv:
+        _fl_only_main()
+    else:
+        main()

@@ -199,9 +199,12 @@ def _add_common(p):
                         "reduce-scatter grads + all-gather updates; frees "
                         "~2x param bytes of HBM per chip")
     p.add_argument("--grad_accum", type=int, default=1,
-                   help="micro-batches averaged per optimizer update "
-                        "(optax.MultiSteps): effective batch = batch_size "
-                        "x grad_accum at batch_size activation memory")
+                   help="micro-batch gradients SUMMED per optimizer update "
+                        "(optax.MultiSteps, use_grad_mean=False — exact "
+                        "k x batch_size equivalence under the sum-reduction "
+                        "CTC loss) at batch_size activation memory; note "
+                        "logging/eval/save cadences and checkpoint step "
+                        "numbers stay in micro-steps")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel chips: encoder matmuls "
                         "Megatron-sharded over a 'model' mesh axis "
@@ -355,7 +358,8 @@ def cmd_federated(args):
         fedprox_mu=args.fedprox_mu,
         server_optimizer=args.server_optimizer,
         server_lr=args.server_lr, server_momentum=args.server_momentum,
-        round_save_dir=args.round_save_dir, mesh=mesh)
+        round_save_dir=args.round_save_dir, mesh=mesh,
+        zero1=args.fl_zero1)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -829,7 +833,10 @@ def cmd_export_hf(args):
     print(json.dumps({"keys": len(sd), "out": str(out)}))
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
+    """The full CLI parser (separated from :func:`main` so runbooks'
+    command lines can be parse-validated without executing anything —
+    tests/test_cli.py::test_reproduce_wer_runbook_parses)."""
     parser = argparse.ArgumentParser(prog="privacy_preserve_federated_asr_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -869,6 +876,12 @@ def main(argv=None):
                    help="lay the mesh out slice-aware (make_multislice_mesh)"
                         ": clients spread across this many ICI slices, "
                         "FedAvg the only DCN traffic; 0 = flat mesh")
+    p.add_argument("--fl_zero1", action="store_true",
+                   help="ZeRO-1 inside the FL round: shard each client's "
+                        "fp32 Adam moments over the 'data' mesh axis "
+                        "(requires --data_mesh >= 2); the memory lever for "
+                        "K=4-8 large-model clients per mesh — stage-0 "
+                        "rounds stack full per-client moments otherwise")
     p.add_argument("--fedprox_mu", type=float, default=0.0,
                    help="FedProx proximal coefficient on the local "
                         "objective (0 = reference FedAvg semantics)")
@@ -1078,8 +1091,11 @@ def main(argv=None):
     p.add_argument("--pkl", required=True)
     p.add_argument("--out_dir", default="./saves/results/FSM_info")
     p.set_defaults(fn=cmd_feat_scoring)
+    return parser
 
-    args = parser.parse_args(argv)
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
     args.fn(args)
 
 

@@ -105,6 +105,45 @@ def fallback_transcribe(
     return texts
 
 
+def fallback_transcribe_full(
+    decode: Callable,
+    n_windows: int,
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: float | None = 2.4,
+    logprob_threshold: float | None = -1.0,
+    seed: int = 0,
+) -> tuple[list[str], list, list[float]]:
+    """:func:`fallback_transcribe` variant that also returns each window's
+    decoded token ids and the temperature that produced its final text —
+    the conditioning path needs both (the next window's prompt is the
+    previous window's TOKENS, and whisper drops the conditioning context
+    after a window decoded at temperature > 0.5).
+
+    ``decode(window_indices, temperature, seed) -> (texts, avg_logprobs,
+    ids)`` where ids is a [n, T] array of eot-padded token rows."""
+    from ..models.whisper import compression_ratio
+
+    def needs_retry(text: str, lp: float) -> bool:
+        if (compression_ratio_threshold is not None
+                and compression_ratio(text) > compression_ratio_threshold):
+            return True
+        return logprob_threshold is not None and lp < logprob_threshold
+
+    idx = list(range(n_windows))
+    t0 = float(temperatures[0])
+    texts, lps, ids = decode(idx, t0, seed)
+    texts, lps, ids = list(texts), list(lps), list(ids)
+    temps = [t0] * n_windows
+    for ti, t in enumerate(temperatures[1:], start=1):
+        bad = [i for i in idx if needs_retry(texts[i], float(lps[i]))]
+        if not bad:
+            break
+        re_texts, re_lps, re_ids = decode(bad, float(t), seed + ti)
+        for i, tx, lp, row in zip(bad, re_texts, re_lps, re_ids):
+            texts[i], lps[i], ids[i], temps[i] = tx, lp, row, float(t)
+    return texts, ids, temps
+
+
 class WhisperTeacher:
     """TPU-native port of the reference's Whisper teacher
     (``TeacherStudentLearning``, federated/src/federated_main.py:29-68):
@@ -125,7 +164,9 @@ class WhisperTeacher:
                  dtype=None,
                  temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
                  compression_ratio_threshold: float | None = 2.4,
-                 logprob_threshold: float | None = -1.0):
+                 logprob_threshold: float | None = -1.0,
+                 condition_on_previous_text: bool = True,
+                 max_prompt_tokens: int | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -143,6 +184,19 @@ class WhisperTeacher:
         self.temperatures = tuple(temperatures)
         self.compression_ratio_threshold = compression_ratio_threshold
         self.logprob_threshold = logprob_threshold
+        # whisper transcribe's condition_on_previous_text (default True):
+        # windows after the first decode with the previous window's tokens
+        # as a <|startofprev|> prompt; the context resets after a window
+        # that needed temperature > 0.5 (degenerate text must not leak
+        # forward). Prompt capacity follows whisper's n_ctx//2 - 1, capped
+        # so at least 1/4 of the positions stay for sampled tokens.
+        self.condition_on_previous_text = condition_on_previous_text
+        n_forced = len(cfg.forced_tokens())
+        self.max_prompt = (max_prompt_tokens if max_prompt_tokens is not None
+                           else min(cfg.max_target_positions // 2 - 1,
+                                    cfg.max_target_positions
+                                    - n_forced
+                                    - max(cfg.max_target_positions // 4, 1)))
         self._pad_or_trim = lambda a: pad_or_trim(a, self.chunk)
         dtype = dtype or jnp.float32
 
@@ -152,45 +206,115 @@ class WhisperTeacher:
                                      temperature=temperature, rng=rng,
                                      dtype=dtype)
 
-        self._run = jax.jit(_run)
+        def _run_cond(params, audio, temperature, rng, prompt_ids, prompt_lens):
+            mel = log_mel_spectrogram(audio, cfg.num_mel_bins)
+            return decode_with_stats(cfg, params, mel,
+                                     temperature=temperature, rng=rng,
+                                     dtype=dtype, prompt_ids=prompt_ids,
+                                     prompt_lens=prompt_lens)
 
-    def _decode_windows(self, windows: np.ndarray, idx, temperature, seed):
-        """Decode ``windows[idx]`` at one temperature -> (texts, lps)."""
+        self._run = jax.jit(_run)
+        self._run_cond = jax.jit(_run_cond)
+
+    def _ids_to_text(self, row) -> str:
+        eot = self.cfg.eot_token
+        return self.detokenize(
+            [int(t) for t in row if int(t) != eot]).upper().strip()
+
+    def _decode_windows(self, windows: np.ndarray, idx, temperature, seed,
+                        prompts: np.ndarray | None = None,
+                        prompt_lens: np.ndarray | None = None):
+        """Decode ``windows[idx]`` at one temperature -> (texts, lps, ids);
+        ``prompts``/``prompt_lens`` (aligned with ``windows``) switch to the
+        conditioned program."""
         import jax
 
-        ids, lps = self._run(self.params, windows[np.asarray(idx)],
-                             temperature, jax.random.PRNGKey(seed))
+        sel = np.asarray(idx)
+        if prompts is None:
+            ids, lps = self._run(self.params, windows[sel],
+                                 temperature, jax.random.PRNGKey(seed))
+        else:
+            ids, lps = self._run_cond(
+                self.params, windows[sel], temperature,
+                jax.random.PRNGKey(seed), prompts[sel], prompt_lens[sel])
         ids, lps = np.asarray(ids), np.asarray(lps)
-        eot = self.cfg.eot_token
-        texts = [self.detokenize([int(t) for t in row if int(t) != eot])
-                 .upper().strip() for row in ids]
-        return texts, lps
+        texts = [self._ids_to_text(row) for row in ids]
+        return texts, lps, ids
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> list[str]:
         """Transcribe a batch of arbitrary-length clips: each is split into
-        ceil(len/chunk) windows (1 minimum), all windows across the batch
-        decode as ONE device batch per temperature pass, and each clip's
-        window texts are stitched in order."""
-        owner, windows = [], []
-        for a_i, a in enumerate(audios):
-            a = np.asarray(a, np.float32)
-            n_win = max(1, -(-len(a) // self.chunk))
-            for w in range(n_win):
-                windows.append(self._pad_or_trim(
-                    a[w * self.chunk:(w + 1) * self.chunk]))
-                owner.append(a_i)
-        stack = np.stack(windows)
+        ceil(len/chunk) windows (1 minimum) and each clip's window texts
+        are stitched in order.
 
-        texts = fallback_transcribe(
-            lambda idx, t, s: self._decode_windows(stack, idx, t, s),
-            len(windows), self.temperatures,
-            self.compression_ratio_threshold, self.logprob_threshold)
+        With ``condition_on_previous_text`` (the reference
+        ``whisper.transcribe`` default) windows decode frontier-by-frontier:
+        all clips' window 0 as one device batch, then all window 1 (each
+        conditioned on its clip's window-0 tokens), and so on — batching
+        rides the clip axis instead of the window axis, and single-window
+        (< 30 s) clips are bit-identical to the unconditioned path. Without
+        it, ALL windows decode as one batch (round-3 behavior)."""
+        clips = [np.asarray(a, np.float32) for a in audios]
+        n_wins = [max(1, -(-len(a) // self.chunk)) for a in clips]
 
-        out = [[] for _ in audios]
-        for o, t in zip(owner, texts):
-            if t:
-                out[o].append(t)
-        return [" ".join(parts) for parts in out]
+        if not self.condition_on_previous_text or max(n_wins) == 1:
+            owner, windows = [], []
+            for a_i, a in enumerate(clips):
+                for w in range(n_wins[a_i]):
+                    windows.append(self._pad_or_trim(
+                        a[w * self.chunk:(w + 1) * self.chunk]))
+                    owner.append(a_i)
+            stack = np.stack(windows)
+
+            texts = fallback_transcribe(
+                lambda idx, t, s: self._decode_windows(stack, idx, t, s)[:2],
+                len(windows), self.temperatures,
+                self.compression_ratio_threshold, self.logprob_threshold)
+
+            out = [[] for _ in audios]
+            for o, t in zip(owner, texts):
+                if t:
+                    out[o].append(t)
+            return [" ".join(parts) for parts in out]
+
+        eot = self.cfg.eot_token
+        parts: list[list[str]] = [[] for _ in clips]
+        # per-clip conditioning context: (tokens, producing temperature)
+        prev: list[tuple[list[int], float] | None] = [None] * len(clips)
+        for w in range(max(n_wins)):
+            rows = [i for i, n in enumerate(n_wins) if w < n]
+            stack = np.stack([
+                self._pad_or_trim(
+                    clips[i][w * self.chunk:(w + 1) * self.chunk])
+                for i in rows])
+            if w == 0:
+                texts, ids, temps = fallback_transcribe_full(
+                    lambda idx, t, s: self._decode_windows(stack, idx, t, s),
+                    len(rows), self.temperatures,
+                    self.compression_ratio_threshold, self.logprob_threshold,
+                    seed=w)
+            else:
+                p = self.max_prompt
+                prompts = np.full((len(rows), p), eot, np.int32)
+                plens = np.zeros((len(rows),), np.int32)
+                for j, i in enumerate(rows):
+                    ctx = prev[i]
+                    if ctx is None or ctx[1] > 0.5:  # whisper's reset rule
+                        continue
+                    toks = [self.cfg.prev_token] + ctx[0][-(p - 1):]
+                    prompts[j, p - len(toks):] = toks  # right-aligned
+                    plens[j] = len(toks)
+                texts, ids, temps = fallback_transcribe_full(
+                    lambda idx, t, s: self._decode_windows(
+                        stack, idx, t, s, prompts, plens),
+                    len(rows), self.temperatures,
+                    self.compression_ratio_threshold, self.logprob_threshold,
+                    seed=w)
+            for j, i in enumerate(rows):
+                if texts[j]:
+                    parts[i].append(texts[j])
+                prev[i] = ([int(t) for t in ids[j] if int(t) != eot],
+                           temps[j])
+        return [" ".join(ps) for ps in parts]
 
     def transcribe(self, examples: Sequence[AsrExample],
                    batch_size: int = 8) -> dict[str, str]:

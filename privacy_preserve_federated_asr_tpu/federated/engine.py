@@ -112,6 +112,16 @@ class FederatedConfig:
     log_dir: str = "./saves/log"
     fedavg_weighted: bool = False   # reference uses an unweighted mean
     mesh: Any = None                # jax.sharding.Mesh with a "client" axis
+    # ZeRO-1 inside the FL round (parallel/zero.py zero1_constrain; beyond
+    # the reference): shard each client's fp32 Adam moments over the mesh's
+    # "data" axis. Stage-0 federated rounds are the heaviest memory case —
+    # per-client moments for the full backbone stacked under the client
+    # vmap (PERF.md §5) — and the moments are 2x the param bytes per
+    # client; sharding them is what lets K=4-8 large-model clients fit a
+    # mesh whose per-client device group would otherwise hold K_local full
+    # fp32 moment sets. Training math is unchanged (layout only); requires
+    # fcfg.mesh with a "data" axis of size >= 2.
+    zero1: bool = False
     # Keep client datasets resident on device across rounds and send only
     # per-round batch-index permutations (client data is static: every round
     # runs local_ep whole-dataset epochs, so per-round staging re-uploads
@@ -224,6 +234,12 @@ class FederatedConfig:
         if self.topk_fraction is not None and not 0.0 < self.topk_fraction <= 1.0:
             raise ValueError(
                 f"topk_fraction must be in (0, 1], got {self.topk_fraction}")
+        if self.zero1 and (
+                self.mesh is None or int(self.mesh.shape.get("data", 1)) < 2):
+            raise ValueError(
+                "zero1 shards per-client Adam moments over the 'data' mesh "
+                "axis: set fcfg.mesh to a Mesh with a 'data' axis of size "
+                ">= 2 (e.g. ('client', 'data') = (K, N/K))")
         if self.dp_noise_multiplier and self.dp_clip_norm is None:
             # noise std is defined as clip * multiplier / K — without a clip
             # norm there is no DP at all; silently running plain FedAvg
@@ -281,6 +297,12 @@ class FederatedEngine:
         # (fcfg.topk_fraction); per stage so one stage's untransmitted
         # coordinates never ride another stage's uplink
         self._topk_residuals: dict[int, Any] = {}
+        # debug: when True, the round returns the final local-phase optax
+        # state stacked over clients (tests assert the physical ZeRO-1
+        # sharding of the Adam moments); off in production — the extra
+        # output would materialize a full per-client moment buffer
+        self._debug_keep_opt_state = False
+        self._debug_opt_state = None
 
     # ------------------------------------------------------------------
     # data: per-client step streams with uniform static shapes
@@ -567,7 +589,8 @@ class FederatedEngine:
         lm_head, trained head-i-on-transcript-set-i, head 0 copied back —
         reference ASRLocalUpdate_Multitask.update_weights_adapted :479-621).
         """
-        key = (stage, phase_specs)
+        keep_opt = self._debug_keep_opt_state
+        key = (stage, phase_specs, keep_opt)
         if key in self._round_fns:
             return self._round_fns[key]
         f = self.fcfg
@@ -583,6 +606,23 @@ class FederatedEngine:
         mt_model = (DACSModel(mt_cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
                     if any(k == "mt" for k, _ in phase_specs) else None)
 
+        if f.zero1:
+            from ..parallel.zero import zero1_constrain
+
+            def z1(tree, _mesh=f.mesh):
+                return zero1_constrain(tree, _mesh)
+        else:
+            z1 = None
+
+        def z1_wrap(step_fn):
+            # pin the updated Adam moments to their ZeRO-1 layout on every
+            # scan-carry hop, so XLA keeps the 1/data_n-sized shards live
+            # instead of materializing full per-client moment sets
+            def stepped(st, batch, _step=step_fn):
+                st, metrics = _step(st, batch)
+                return st.replace(opt_state=z1(st.opt_state)), metrics
+            return stepped
+
         txs, steps_fns = [], []
         for kind, steps in phase_specs:
             tx = make_optimizer(
@@ -593,11 +633,12 @@ class FederatedEngine:
             )
             txs.append(tx)
             if kind == "mt":
-                steps_fns.append(make_multitask_train_step(mt_model, tx, mt_cfg))
+                step_fn = make_multitask_train_step(mt_model, tx, mt_cfg)
             elif kind == "res_h":
-                steps_fns.append(make_hidden_train_step(model, tx, cfg))
+                step_fn = make_hidden_train_step(model, tx, cfg)
             else:
-                steps_fns.append(make_train_step(model, tx, cfg))
+                step_fn = make_train_step(model, tx, cfg)
+            steps_fns.append(z1_wrap(step_fn) if z1 is not None else step_fn)
 
         def local_train(params, phase_batches, rng):
             # FedProx anchor: the ROUND-START global params for every phase
@@ -607,6 +648,7 @@ class FederatedEngine:
             # snapshot; Adam moments are zeros regardless.
             round_start = params
             losses = []
+            last_opt = None
             for (kind, _), tx, train_step, batches in zip(
                     phase_specs, txs, steps_fns, phase_batches):
                 rng, sub = jax.random.split(rng)
@@ -614,9 +656,12 @@ class FederatedEngine:
                      if kind == "mt" else params)
                 p_anchor = (init_lm_heads_from_lm_head(round_start, n_lms)
                             if kind == "mt" else round_start)
+                opt0 = tx.init(p_anchor)
+                if z1 is not None:
+                    opt0 = z1(opt0)
                 state = DACSTrainState(
                     step=jnp.zeros((), jnp.int32), params=p,
-                    opt_state=tx.init(p_anchor), rng=sub)
+                    opt_state=opt0, rng=sub)
 
                 if kind == "res":
                     # device-resident data: scan over index rows, gather
@@ -646,11 +691,14 @@ class FederatedEngine:
 
                     state, phase_losses = jax.lax.scan(body, state, batches)
                 params = state.params
+                last_opt = state.opt_state
                 if kind == "mt":  # 1-best head becomes lm_head; scratch dropped
                     params = copy_first_head_to_lm_head(params)
                     params = {k: v for k, v in params.items()
                               if not k.startswith("lm_heads_")}
                 losses.append(phase_losses)
+            if keep_opt:  # debug: expose the final phase's optimizer state
+                return params, jnp.concatenate(losses), last_opt
             return params, jnp.concatenate(losses)
 
         server_tx = self._server_tx(stage)
@@ -699,8 +747,9 @@ class FederatedEngine:
                     # fall back to GSPMD (pads internally); pin the client
                     # dim so the partitioner can't re-use the axis elsewhere
                     vmapped = jax.vmap(local_train, spmd_axis_name="client")
-            new_params, losses = vmapped(
-                stacked, tuple(per_client), rngs)
+            out = vmapped(stacked, tuple(per_client), rngs)
+            new_params, losses = out[0], out[1]
+            debug_opt = out[2] if keep_opt else None
             if f.dp_clip_norm is not None:
                 if f.fedavg_weighted:
                     raise ValueError("DP-FedAvg is unweighted (uniform-"
@@ -759,7 +808,11 @@ class FederatedEngine:
                 updates, server_opt_state = server_tx.update(
                     jax.tree.map(jnp.negative, delta), server_opt_state)
                 new_global = optax.apply_updates(global_params, updates)
-            return new_global, server_opt_state, agg_state, jnp.mean(losses, axis=1)
+            mean_losses = jnp.mean(losses, axis=1)
+            if keep_opt:
+                return (new_global, server_opt_state, agg_state, mean_losses,
+                        debug_opt)
+            return new_global, server_opt_state, agg_state, mean_losses
 
         jitted = jax.jit(round_fn)
         self._round_fns[key] = jitted
@@ -849,6 +902,16 @@ class FederatedEngine:
         if mesh is None:
             return params, batches, rngs, counts
         repl = NamedSharding(mesh, P())
+        if int(rngs.shape[0]) % int(mesh.shape["client"]):
+            # GSPMD fallback (m doesn't divide the client axis): an uneven
+            # client dim cannot be device_put with a "client" sharding —
+            # replicate the inputs and let the partitioner pad/slice inside
+            # the program (the round fn's vmap carries
+            # spmd_axis_name="client"). Padding cost is logged per round as
+            # gspmd_client_pad_frac.
+            return (jax.device_put(params, repl),
+                    jax.tree.map(lambda x: jax.device_put(x, repl), batches),
+                    jax.device_put(rngs, repl), jax.device_put(counts, repl))
         csh = NamedSharding(mesh, P("client"))
         data_n = int(mesh.shape.get("data", 1))
         if data_n > 1 and self.fcfg.batch_size % data_n:
@@ -1086,20 +1149,36 @@ class FederatedEngine:
                 if f.mesh is not None:
                     agg_sel = jax.device_put(
                         agg_sel, NamedSharding(f.mesh, P("client")))
-            self.global_params, sstate, agg_sel, losses = round_fn(
-                *placed, sstate, agg_sel)
+            out = round_fn(*placed, sstate, agg_sel)
+            if self._debug_keep_opt_state:
+                (self.global_params, sstate, agg_sel, losses,
+                 self._debug_opt_state) = out
+            else:
+                self.global_params, sstate, agg_sel, losses = out
             if sstate is not None:
                 self._server_opt_states[stage] = sstate
             if res_all is not None:
                 self._topk_residuals[stage] = jax.tree.map(
                     lambda r, s: r.at[pos].set(s.astype(jnp.float32)),
                     res_all, agg_sel)
-            self.logger.log({
+            row = {
                 "fl_round": rnd + 1, "stage": stage,
                 "clients": ",".join(str(c) for c in cids),
                 "dead_step_frac": round(dead_frac, 4),
                 **{f"client{c}_loss": float(l) for c, l in zip(cids, losses)},
-            })
+            }
+            if f.mesh is not None:
+                # GSPMD-fallback padding cost: when the sampled-client count
+                # doesn't divide the client axis, the partitioner pads the
+                # client dim to the next multiple — those lanes run the full
+                # local training on garbage and are dropped. Supported K
+                # envelope: keep m a multiple of the client axis (frac=1.0
+                # with num_clients % client_mesh == 0) for zero waste.
+                c_ax = int(f.mesh.shape["client"])
+                if m % c_ax:
+                    padded = -(-m // c_ax) * c_ax
+                    row["gspmd_client_pad_frac"] = round(1.0 - m / padded, 4)
+            self.logger.log(row)
             if self.eval_examples is not None:
                 ev = self.evaluate(stage)
                 ev.update({"fl_round": rnd + 1, "stage": stage})

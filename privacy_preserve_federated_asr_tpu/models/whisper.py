@@ -46,6 +46,7 @@ class WhisperConfigT:
     language_token: int = 50259     # <|en|>
     task_token: int = 50359         # <|transcribe|>
     no_timestamps_token: int = 50363
+    prev_token: int = 50361         # <|startofprev|> (window conditioning)
 
     @property
     def head_dim(self) -> int:
@@ -61,7 +62,7 @@ class WhisperConfigT:
                    encoder_layers=2, decoder_layers=2, num_heads=4, ffn_dim=64,
                    max_source_positions=64, max_target_positions=24,
                    sot_token=1, eot_token=0, language_token=2, task_token=3,
-                   no_timestamps_token=4)
+                   no_timestamps_token=4, prev_token=5)
 
     @classmethod
     def from_hf_config(cls, hf) -> "WhisperConfigT":
@@ -89,6 +90,7 @@ class WhisperConfigT:
             language_token=sot + 1,        # <|en|> is the first language id
             task_token=eot + 102,          # <|transcribe|>
             no_timestamps_token=eot + 106,  # <|notimestamps|>
+            prev_token=eot + 104,          # <|startofprev|>
         )
 
     def forced_tokens(self) -> list[int]:
@@ -183,7 +185,8 @@ class _WhisperAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, kv=None, causal: bool = False, decode: bool = False):
+    def __call__(self, x, kv=None, causal: bool = False, decode: bool = False,
+                 cache_start=None):
         c = self.cfg
         h, hd = c.num_heads, c.head_dim
         b, t, _ = x.shape
@@ -206,11 +209,18 @@ class _WhisperAttention(nn.Module):
             cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, i, 0, 0))
             ci.value = i + 1
             k, v = ck.value, cv.value
-            mask = (jnp.arange(L)[None, :] <= i).astype(jnp.float32)  # [1, L]
-            bias = (1.0 - mask) * -1e9
+            pos = jnp.arange(L)[None, :]
+            mask = pos <= i  # [1, L]
+            if cache_start is not None:
+                # per-row left-padded prompt (decode_with_stats prompt_ids):
+                # cache slots below the row's start hold padding KV — masked
+                # out, so right-aligned prompts of different lengths are
+                # exact (positions are assigned per row by the decoder)
+                mask = mask & (pos >= cache_start[:, None])  # [B, L]
+            bias = jnp.where(mask, 0.0, -1e9)
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
-            scores = scores + bias[None, None, :, :]
+            scores = scores + bias[:, None, None, :]  # [B or 1, h, q, L]
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32)
@@ -277,10 +287,11 @@ class _DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, enc, decode: bool = False):
+    def __call__(self, x, enc, decode: bool = False, cache_start=None):
         ln1 = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")
         x = x + _WhisperAttention(self.cfg, self.dtype, name="self_attn")(
-            ln1(x).astype(self.dtype), causal=True, decode=decode)
+            ln1(x).astype(self.dtype), causal=True, decode=decode,
+            cache_start=cache_start)
         ln2 = nn.LayerNorm(epsilon=1e-5, name="encoder_attn_layer_norm")
         x = x + _WhisperAttention(self.cfg, self.dtype, name="encoder_attn")(
             ln2(x).astype(self.dtype), kv=enc)
@@ -294,7 +305,8 @@ class WhisperDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jax.Array, enc: jax.Array,
-                 pos_offset: jax.Array | int = 0, decode: bool = False):
+                 pos_offset: jax.Array | int = 0, decode: bool = False,
+                 cache_start=None):
         c = self.cfg
         emb = self.param("embed_tokens", nn.initializers.normal(0.02),
                          (c.vocab_size, c.d_model))
@@ -303,10 +315,16 @@ class WhisperDecoder(nn.Module):
         emb = jnp.asarray(emb)  # ported params may be host numpy arrays
         pos = jnp.asarray(pos)
         t = tokens.shape[1]
-        positions = jnp.arange(t) + pos_offset
-        x = emb[tokens].astype(self.dtype) + pos[positions][None].astype(self.dtype)
+        # pos_offset: scalar, or [B] for rows at different decode positions
+        # (left-padded prompt conditioning — cache slot and position id
+        # decouple there)
+        off = jnp.reshape(jnp.asarray(pos_offset), (-1, 1))
+        positions = jnp.clip(jnp.arange(t)[None, :] + off,
+                             0, c.max_target_positions - 1)
+        x = emb[tokens].astype(self.dtype) + pos[positions].astype(self.dtype)
         for i in range(c.decoder_layers):
-            x = _DecoderLayer(c, self.dtype, name=f"layers_{i}")(x, enc, decode)
+            x = _DecoderLayer(c, self.dtype, name=f"layers_{i}")(
+                x, enc, decode, cache_start=cache_start)
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x)
         # tied output projection (HF proj_out.weight == embed_tokens.weight)
         return x.astype(jnp.float32) @ emb.T.astype(jnp.float32)
@@ -327,8 +345,9 @@ class WhisperModel(nn.Module):
     def encode(self, mel):
         return self.encoder(mel)
 
-    def decode_step(self, tokens, enc, pos_offset):
-        return self.decoder(tokens, enc, pos_offset, decode=True)
+    def decode_step(self, tokens, enc, pos_offset, cache_start=None):
+        return self.decoder(tokens, enc, pos_offset, decode=True,
+                            cache_start=cache_start)
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +362,8 @@ def decode_with_stats(
     rng: jax.Array | None = None,
     max_new_tokens: int | None = None,
     dtype: jnp.dtype = jnp.float32,
+    prompt_ids: jax.Array | None = None,
+    prompt_lens: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched transcription with decode statistics: [B, T_mel, M] ->
     (token ids [B, max_target_positions] eot-padded, avg_logprob [B]).
@@ -354,15 +375,28 @@ def decode_with_stats(
     reference usage: federated/src/federated_main.py:29-68 calls
     ``whisper.transcribe`` whose DecodingOptions escalate temperature).
     ``avg_logprob`` matches whisper's accounting: the sum of the selected
-    tokens' log-probs (eot step included) over ``len(tokens) + 1``."""
+    tokens' log-probs (eot step included) over ``len(tokens) + 1``.
+
+    ``prompt_ids`` [B, P] + ``prompt_lens`` [B]: whisper's inter-window
+    conditioning context (``<|startofprev|>`` + previous-window text
+    tokens, whisper transcribe's condition_on_previous_text). Rows are
+    RIGHT-aligned (left-padded with anything); padding cache slots are
+    attention-masked per row and position ids start at 0 at each row's
+    first real token, so variable-length prompts batch exactly. The
+    decode statistics cover only the sampled tokens, as in whisper."""
     c = cfg
     model = WhisperModel(c, dtype)
     prompt = jnp.asarray(c.forced_tokens(), dtype=jnp.int32)
     n_prompt = int(prompt.shape[0])
+    n_prev = 0 if prompt_ids is None else int(prompt_ids.shape[1])
     total = c.max_target_positions
     if max_new_tokens is None:
-        max_new_tokens = total - n_prompt
-    max_new_tokens = min(max_new_tokens, total - n_prompt)
+        max_new_tokens = total - n_prompt - n_prev
+    max_new_tokens = min(max_new_tokens, total - n_prompt - n_prev)
+    if max_new_tokens < 1:
+        raise ValueError(
+            f"no token budget left: max_target_positions={total} - "
+            f"{n_prompt} forced - {n_prev} prompt slots < 1")
     b = mel.shape[0]
     temperature = jnp.asarray(temperature, jnp.float32)
     rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -378,12 +412,36 @@ def decode_with_stats(
     # re-init: discard the probe step's cache write by zeroing indices/values
     cache = jax.tree.map(jnp.zeros_like, cache)
 
+    if prompt_ids is None:
+        start = None
+        plen = jnp.zeros((b,), jnp.int32)
+    else:
+        plen = jnp.asarray(prompt_lens, jnp.int32)
+        start = (n_prev - plen).astype(jnp.int32)  # first valid cache slot
+
+        def prime(cache, tok_col):
+            # tok_col: [B] prompt tokens at cache slot j; position id is
+            # per-row (j - start, clipped — padding steps' outputs are
+            # discarded and their KV slots masked)
+            cache, j = cache
+            posb = jnp.maximum(j - start, 0)
+            _, vars_ = model.apply(
+                {"params": params, "cache": cache}, tok_col[:, None], enc,
+                posb, method=WhisperModel.decode_step, mutable=["cache"],
+                cache_start=start)
+            return (vars_["cache"], j + 1), None
+
+        (cache, _), _ = jax.lax.scan(
+            prime, (cache, jnp.zeros((), jnp.int32)),
+            jnp.asarray(prompt_ids, jnp.int32).T)
+
     logits = None
     for i in range(n_prompt):
         tok = jnp.broadcast_to(prompt[i], (b, 1)).astype(jnp.int32)
         logits, vars_ = model.apply(
-            {"params": params, "cache": cache}, tok, enc, i,
-            method=WhisperModel.decode_step, mutable=["cache"])
+            {"params": params, "cache": cache}, tok, enc, plen + i,
+            method=WhisperModel.decode_step, mutable=["cache"],
+            cache_start=start)
         cache = vars_["cache"]
 
     def select(logits_last, key):
@@ -405,7 +463,8 @@ def decode_with_stats(
         cache, tok, done, sum_lp, n_emit = carry
         logits, vars_ = model.apply(
             {"params": params, "cache": cache}, tok[:, None], enc,
-            n_prompt + i, method=WhisperModel.decode_step, mutable=["cache"])
+            plen + n_prompt + i, method=WhisperModel.decode_step,
+            mutable=["cache"], cache_start=start)
         cache = vars_["cache"]
         nxt, lp = select(logits[:, -1, :], jax.random.fold_in(rng, i + 1))
         nxt = jnp.where(done, c.eot_token, nxt)
@@ -418,7 +477,7 @@ def decode_with_stats(
         step, (cache, first, done0, sum_lp0, n_emit0),
         jnp.arange(max_new_tokens - 1))
     out = jnp.concatenate([toks.transpose(1, 0), last[:, None]], axis=1)
-    pad = total - n_prompt - out.shape[1]
+    pad = total - n_prompt - n_prev - out.shape[1]
     if pad > 0:
         out = jnp.pad(out, ((0, 0), (0, pad)), constant_values=c.eot_token)
     # whisper: avg = sum over sampled tokens (incl. eot) / (len(tokens)+1);

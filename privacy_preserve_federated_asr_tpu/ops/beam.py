@@ -38,34 +38,35 @@ class BeamHypothesis:
         return self.log_prob + self.lm_log_prob
 
 
-def ctc_prefix_beam_search(
+# Beam state: prefix -> (p_b, p_nb, lm) with p_b / p_nb the log-prob of
+# the prefix with the last frame being blank / non-blank. The recursion is
+# purely sequential over frames, so the state can be checkpointed at any
+# frame boundary and advanced later — the streaming path
+# (serving/streaming.py) carries one such state over its FINALIZED frames
+# and re-runs only the partial tail each pass.
+BeamState = dict
+
+
+def ctc_beam_init() -> BeamState:
+    """Empty-prefix beam state (decode position 0)."""
+    return {(): (0.0, NEG_INF, 0.0)}
+
+
+def ctc_beam_advance(
     log_probs: np.ndarray,
+    beams: BeamState,
     beam_size: int = 16,
     blank_id: int = 0,
     lm_fn: Callable[[tuple[int, ...]], np.ndarray] | None = None,
     lm_alpha: float = 0.3,
     lm_beta: float = 0.0,
     prune_log_prob: float = -12.0,
-) -> list[BeamHypothesis]:
-    """Decode one utterance's CTC posterior.
-
-    Args:
-      log_probs: [T, V] log-softmax scores over valid frames only.
-      beam_size: number of prefixes kept per frame.
-      blank_id: CTC blank (== pad, reference blank=pad_token_id).
-      lm_fn: optional ``prefix_ids -> [V] log P(next | prefix)``; fused as
-        ``alpha * lm + beta`` per emitted (non-blank, non-repeat) token.
-      prune_log_prob: per-frame emission pruning threshold relative to the
-        frame's best token (standard beam pruning; keeps V small).
-
-    Returns the final beam sorted by fused score (best first); hypothesis
-    ids are the collapsed label sequence (no blanks, no repeats).
-    """
+) -> BeamState:
+    """Advance a beam state over ``log_probs`` ([T', V]) frames; returns the
+    new state (the input state is not mutated). Composition law (what the
+    streaming bit-identity test relies on): advancing over [0, a) then
+    [a, T) equals one advance over [0, T)."""
     T, V = log_probs.shape
-    # p_b / p_nb: log-prob of the prefix with the last frame being
-    # blank / non-blank
-    beams: dict[tuple[int, ...], tuple[float, float, float]] = {
-        (): (0.0, NEG_INF, 0.0)}  # (p_b, p_nb, lm)
 
     for t in range(T):
         frame = log_probs[t]
@@ -114,7 +115,12 @@ def ctc_prefix_beam_search(
              if _logsumexp2(v[0], v[1]) > NEG_INF),  # drop dead prefixes
             key=lambda kv: -(_logsumexp2(kv[1][0], kv[1][1]) + kv[1][2]))
         beams = {k: (v[0], v[1], v[2]) for k, v in scored[:beam_size]}
+    return beams
 
+
+def beam_state_hypotheses(beams: BeamState) -> list[BeamHypothesis]:
+    """A beam state as sorted hypotheses (best first); hypothesis ids are
+    the collapsed label sequence (no blanks, no repeats)."""
     out = [
         BeamHypothesis(ids=prefix,
                        log_prob=float(_logsumexp2(p_b, p_nb)),
@@ -123,6 +129,34 @@ def ctc_prefix_beam_search(
     ]
     out.sort(key=lambda h: -h.score)
     return out
+
+
+def ctc_prefix_beam_search(
+    log_probs: np.ndarray,
+    beam_size: int = 16,
+    blank_id: int = 0,
+    lm_fn: Callable[[tuple[int, ...]], np.ndarray] | None = None,
+    lm_alpha: float = 0.3,
+    lm_beta: float = 0.0,
+    prune_log_prob: float = -12.0,
+) -> list[BeamHypothesis]:
+    """Decode one utterance's CTC posterior.
+
+    Args:
+      log_probs: [T, V] log-softmax scores over valid frames only.
+      beam_size: number of prefixes kept per frame.
+      blank_id: CTC blank (== pad, reference blank=pad_token_id).
+      lm_fn: optional ``prefix_ids -> [V] log P(next | prefix)``; fused as
+        ``alpha * lm + beta`` per emitted (non-blank, non-repeat) token.
+      prune_log_prob: per-frame emission pruning threshold relative to the
+        frame's best token (standard beam pruning; keeps V small).
+
+    Returns the final beam sorted by fused score (best first).
+    """
+    return beam_state_hypotheses(ctc_beam_advance(
+        log_probs, ctc_beam_init(), beam_size=beam_size, blank_id=blank_id,
+        lm_fn=lm_fn, lm_alpha=lm_alpha, lm_beta=lm_beta,
+        prune_log_prob=prune_log_prob))
 
 
 def beam_search_batch(

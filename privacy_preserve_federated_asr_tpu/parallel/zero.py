@@ -51,6 +51,25 @@ def zero1_opt_shardings(mesh: Mesh, opt_state: Any, axis: str = "data") -> Any:
         opt_state)
 
 
+def zero1_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Constrain every array of an optax state tree to its ZeRO-1 layout
+    (``zero1_partition_spec`` along ``axis``) INSIDE a jitted program.
+
+    This is the federated-engine form of ZeRO-1: the per-client Adam
+    moments are created and consumed entirely inside the jitted FL round
+    (``tx.init`` in the vmapped local training, federated/engine.py), so
+    there is no host-visible state to place — the layout must be pinned
+    with ``with_sharding_constraint`` at init and on the scan carry. Works
+    inside ``vmap`` (the client batch dim is lifted into the spec) and
+    inside partial-auto ``shard_map`` over the ``client`` axis (``axis``
+    stays auto, so GSPMD still owns the moment layout)."""
+    n = int(mesh.shape[axis])
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, zero1_partition_spec(tuple(x.shape), n, axis))),
+        tree)
+
+
 def zero1_state_shardings(mesh: Mesh, state: Any, axis: str = "data") -> Any:
     """Sharding tree for a full ``DACSTrainState``: params / step / rng
     replicated (ZeRO-1 keeps parameters whole on every chip), optimizer

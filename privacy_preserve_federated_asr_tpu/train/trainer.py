@@ -11,6 +11,7 @@ length-bucketed batcher so XLA compiles a handful of static shapes.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Sequence
@@ -249,6 +250,19 @@ class Trainer:
             # exactly (up to the clip, which sees the same total gradient).
             self.tx = optax.MultiSteps(self.tx, every_k_schedule=tcfg.grad_accum,
                                        use_grad_mean=False)
+            # NOTE (cadence semantics): state.step counts MICRO-steps, so
+            # logging_steps / eval_steps / save_steps fire per micro-batch
+            # (save_steps=500 at k=2 means 250 optimizer updates) and
+            # checkpoints may land mid-accumulation — exact resume still
+            # holds because MultiSteps' acc_grads ride in the saved state.
+            micro_total = len(self.train_batcher) * tcfg.num_epochs
+            if micro_total % tcfg.grad_accum != 0:
+                warnings.warn(
+                    f"train length ({micro_total} micro-steps) is not a "
+                    f"multiple of grad_accum={tcfg.grad_accum}: the final "
+                    f"{micro_total % tcfg.grad_accum} accumulated "
+                    "micro-gradients never fire an optimizer update and are "
+                    "dropped at the end of train()", stacklevel=2)
         self.state = create_train_state(params, self.tx, jax.random.PRNGKey(tcfg.seed))
         if tcfg.resume_from:
             self._resume(tcfg.resume_from)

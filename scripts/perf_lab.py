@@ -307,6 +307,8 @@ def main():
         bench_layer_stack()
     elif mode == "flround":
         bench_fl_round(stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
+    elif mode == "flmem":
+        bench_fl_memory()
     elif mode == "hidden":
         print(json.dumps(bench_hidden_step(
             stage=int(sys.argv[2]) if len(sys.argv) > 2 else 2)), flush=True)
@@ -519,6 +521,52 @@ def bench_fl_round(stage=2, n_clients=2, utts_per_client=32, batch=8,
         "first_round_incl_compile_s": round(compile_and_first, 1),
         "round_ms": round(dt * 1e3, 1),
         "utt_per_sec": round(utts / dt, 1)}), flush=True)
+
+
+def bench_fl_memory(data_axes=(1, 2, 4), ks=(2, 4, 8)):
+    """The federated stage-0 K envelope, from real param shapes: HBM bytes
+    of the stacked per-client state inside one round — bf16 broadcast
+    params + per-client fp32 Adam moments (2x fp32 trainable bytes, the
+    dominant term PERF.md §5 flags) — per client-group device, with and
+    without ZeRO-1 (FederatedConfig.zero1: moments sharded over the 'data'
+    axis, parallel/zero.py). Analytic on purpose: this box has ONE chip, so
+    multi-device residency can't be measured here, but the byte math is
+    exact given the shapes. Assumes mesh client axis == K (one client per
+    group); with K_local = K/client_axis clients vmapped per group,
+    multiply the per-device numbers by K_local. K envelope rule of thumb:
+    fits when state_gb_per_device + ~4 GB activations/caches < 16 GB
+    (v5e)."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=0, ad_loss="recall")
+    params = jax.eval_shape(
+        lambda: init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    # stage 0 trains the ASR sub-network (backbone + lm_head) — in
+    # data2vec-large that is ~99.9% of the params; count it exactly
+    n_train = sum(
+        int(np.prod(x.shape))
+        for k, sub in params.items() if k in ("backbone", "lm_head")
+        for x in jax.tree.leaves(sub))
+    for k in ks:
+        for dn in data_axes:
+            # mesh (client=K, data=dn): each device group holds ONE
+            # client's params (bf16 broadcast) + its fp32 Adam mu+nu,
+            # moments /dn under zero1
+            param_b = 2 * n_params            # bf16 compute copy
+            mom_b = 2 * 4 * n_train           # fp32 mu + nu
+            plain = param_b + mom_b
+            z1 = param_b + mom_b / dn
+            print(json.dumps({
+                "config": f"flmem st=0 K={k} data={dn} "
+                          f"({n_params / 1e6:.0f}M params)",
+                "state_gb_per_device_plain": round(plain / 1e9, 2),
+                "state_gb_per_device_zero1": round(z1 / 1e9, 2),
+                "zero1_saving_gb": round((plain - z1) / 1e9, 2),
+                "devices": k * dn}), flush=True)
 
 
 def bench_posconv(b=16, t=249):

@@ -311,3 +311,40 @@ def test_cli_teacher_self_labeling(data_dir, tmp_path, capsys):
     # the JSON sidecar mirrors the CSV content for the kept rows
     trs = json.loads((tmp_path / "teacher" / "unsup.json").read_text())
     assert set(r["path"] for r in rows) <= set(trs)
+
+
+def test_reproduce_wer_runbook_parses():
+    """VERDICT r3 #8: the unattended WER runbook must stay in sync with the
+    CLI — every `python -m ...cli` command line in scripts/reproduce_wer.sh
+    is extracted, variable-substituted, and parse-validated against the
+    real parser (argparse raises SystemExit on any drifted flag)."""
+    import re
+    import shlex
+    from pathlib import Path
+
+    from privacy_preserve_federated_asr_tpu.cli import build_parser
+
+    script = Path(__file__).parent.parent / "scripts" / "reproduce_wer.sh"
+    text = script.read_text().replace("\\\n", " ")
+    m = re.search(r"COMMON=\((.*?)\)\n", text, re.S)
+    assert m, "COMMON array not found in reproduce_wer.sh"
+    common = " ".join(m.group(1).split())
+    subs = {'"${COMMON[@]}"': common, '"$DATA': '"/data',
+            '"$MODEL': '"/model', '"$OUT': '"/out'}
+    cmds = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("python -m privacy_preserve_federated_asr_tpu.cli"):
+            continue
+        for k, v in subs.items():
+            line = line.replace(k, v)
+        # the conditional MMSE block: validate the optional flags too
+        line = re.sub(r"\$\(.*\)",
+                      "--id2mmse /data/meta-data/ID2MMSE.npy -t 3", line)
+        cmds.append(shlex.split(line)[3:])  # drop python -m <module>
+    assert len(cmds) == 4, f"expected 4 CLI invocations, found {len(cmds)}"
+    assert [c[0] for c in cmds] == ["federated", "extract", "detail-wer", "svm"]
+    parser = build_parser()
+    for argv in cmds:
+        args = parser.parse_args(argv)  # SystemExit = drifted runbook
+        assert callable(args.fn)

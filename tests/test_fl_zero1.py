@@ -1,0 +1,190 @@
+"""ZeRO-1 inside federated rounds (FederatedConfig.zero1) and the GSPMD
+fallback for non-dividing sampled-client counts.
+
+VERDICT r3 #1: the FL engine gets the Trainer's memory toolbox — the
+per-client fp32 Adam moments (the heaviest FL memory case, PERF.md §5)
+shard over the ``data`` mesh axis inside the jitted round. Proven two
+ways, mirroring tests/test_zero.py:
+
+* trajectory: zero1 rounds == plain meshed rounds (layout only, no math);
+* physics: the final per-client moment arrays come back as
+  1/(client*data)-sized ``addressable_shards`` — replication cannot fake
+  this.
+
+VERDICT r3 #7: ``m % client_axis != 0`` falls back to GSPMD
+(``jax.vmap(..., spmd_axis_name="client")``, engine.py) — previously the
+one sharding path with no dedicated test. m=3 sampled clients on a
+client=2 axis must match the unmeshed round bit-for-bit in trajectory,
+and the round log must carry the padding-cost metric.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from privacy_preserve_federated_asr_tpu.data.dataset import AsrExample
+from privacy_preserve_federated_asr_tpu.data.tokenizer import CTCCharTokenizer
+from privacy_preserve_federated_asr_tpu.federated import (
+    FederatedConfig,
+    FederatedEngine,
+)
+from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+from privacy_preserve_federated_asr_tpu.parallel import make_mesh
+from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+TOK = CTCCharTokenizer()
+
+
+def _mk_examples(n, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        text = ["HI", "YES", "NO WAY", "OK GO"][i % 4]
+        arr = rng.normal(0, 1, size=3200).astype(np.float32)
+        out.append(AsrExample(
+            path=f"S{seed}{i:02d}_PAR_0_0.wav", array=arr, text=text,
+            dementia_label=i % 2, input_values=arr,
+            labels=np.asarray(TOK.encode(text), dtype=np.int32)))
+    return out
+
+
+def _cfg(stage):
+    return DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, final_dropout=0.0),
+        stage=stage, ad_loss="cel")
+
+
+def _engine(mesh, stage=0, zero1=False, num_clients=2, **fkw):
+    cfg = _cfg(stage)
+    params = init_dacs_params(cfg, jax.random.PRNGKey(42))
+    fcfg = FederatedConfig(
+        num_rounds=1, num_clients=num_clients, frac=1.0, local_ep=1,
+        global_ep=1, batch_size=2, time_multiple=3200, seed=0,
+        warmup_steps=1, mesh=mesh, zero1=zero1,
+        # the no-mesh comparison engines must take the same (staged) data
+        # path as the meshed ones, not the resident gather path
+        resident_client_data=False, cache_encoder=False, **fkw)
+    clients = {i: _mk_examples(4, seed=i + 1) for i in range(num_clients)}
+    return FederatedEngine(cfg, fcfg, clients,
+                           _mk_examples(4, seed=99), None, TOK, params)
+
+
+def _leaf(tree, *path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def test_fl_zero1_requires_data_axis():
+    with pytest.raises(ValueError, match="zero1"):
+        FederatedConfig(zero1=True)  # no mesh at all
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="zero1"):
+            FederatedConfig(zero1=True, mesh=make_mesh(client=2, data=1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_fl_zero1_matches_plain_meshed_rounds():
+    """zero1 relocates the per-client Adam moments; the round trajectory
+    must match the plain meshed round (same math, different layout)."""
+    mesh = make_mesh(client=2, data=2)
+    eng_a = _engine(mesh, stage=0, zero1=False)
+    eng_b = _engine(mesh, stage=0, zero1=True)
+    pa = eng_a.run_rounds(stage=0, num_rounds=1)
+    pb = eng_b.run_rounds(stage=0, num_rounds=1)
+    for path in (("lm_head", "kernel"),
+                 ("backbone", "encoder", "layers_0", "attention", "q_proj",
+                  "kernel"),
+                 ("backbone", "feature_projection", "projection", "kernel")):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(_leaf(pb, *path))),
+            np.asarray(jax.device_get(_leaf(pa, *path))),
+            rtol=2e-4, atol=1e-6, err_msg="/".join(path))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_fl_zero1_moments_physically_sharded():
+    """The round's final per-client moment arrays must live as
+    1/(client*data)-sized physical shards — the client dim over the
+    ``client`` axis (as before) AND the moment rows over ``data``
+    (what zero1 adds). Replication over ``data`` would show
+    1/client-sized shards and fail."""
+    n_client, n_data = 2, 2
+    mesh = make_mesh(client=n_client, data=n_data)
+    eng = _engine(mesh, stage=0, zero1=True)
+    eng._debug_keep_opt_state = True
+    eng.run_rounds(stage=0, num_rounds=1)
+    opt = eng._debug_opt_state
+    assert opt is not None
+    leaves = [x for x in jax.tree.leaves(opt)
+              if hasattr(x, "addressable_shards") and x.ndim >= 3
+              and x.shape[0] == n_client]  # [K, ...] stacked moments
+    assert leaves, "no stacked moment arrays in the debug opt state"
+    fully_sharded = 0
+    for x in leaves:
+        shard = np.prod(x.addressable_shards[0].data.shape)
+        if shard == np.prod(x.shape) // (n_client * n_data):
+            fully_sharded += 1
+    assert fully_sharded > len(leaves) // 2, (
+        f"only {fully_sharded}/{len(leaves)} moment arrays carry the "
+        "client x data physical sharding")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_fl_zero1_with_aggregation_mode():
+    """zero1 composes with the aggregation modes (it changes only the
+    local-phase moment layout): a zero1 + FedAvgM round == plain meshed
+    FedAvgM round."""
+    mesh = make_mesh(client=2, data=2)
+    kw = dict(server_optimizer="momentum", server_momentum=0.5)
+    pa = _engine(mesh, stage=0, zero1=False, **kw).run_rounds(0, 1)
+    pb = _engine(mesh, stage=0, zero1=True, **kw).run_rounds(0, 1)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(_leaf(pb, "lm_head", "kernel"))),
+        np.asarray(jax.device_get(_leaf(pa, "lm_head", "kernel"))),
+        rtol=2e-4, atol=1e-6)
+
+
+# ------------------------------------------------- GSPMD fallback (m ∤ axis)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_three_clients_on_client2_axis_matches_unmeshed():
+    """m=3 sampled clients on a client=2 mesh axis takes the GSPMD-vmap
+    fallback (engine.py `k % mesh.shape['client']` branch); its round
+    trajectory must equal the unmeshed round (GSPMD pads the odd client
+    internally — numerics must not change)."""
+    mesh = make_mesh(client=2, data=1)
+    eng_mesh = _engine(mesh, stage=0, num_clients=3)
+    eng_plain = _engine(None, stage=0, num_clients=3)
+    pm = eng_mesh.run_rounds(stage=0, num_rounds=1)
+    pp = eng_plain.run_rounds(stage=0, num_rounds=1)
+    for path in (("lm_head", "kernel"),
+                 ("backbone", "encoder", "layers_0", "attention", "q_proj",
+                  "kernel")):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(_leaf(pm, *path))),
+            np.asarray(jax.device_get(_leaf(pp, *path))),
+            rtol=2e-4, atol=1e-6, err_msg="/".join(path))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
+def test_gspmd_pad_frac_logged():
+    """The padding cost of the fallback must be visible: m=3 on client=2
+    wastes 1/4 of the round's client compute (GSPMD pads to 4 lanes), and
+    the round log records it as gspmd_client_pad_frac."""
+    mesh = make_mesh(client=2, data=1)
+    eng = _engine(mesh, stage=0, num_clients=3)
+    eng.run_rounds(stage=0, num_rounds=1)
+    rows = [r for r in eng.logger.history if "gspmd_client_pad_frac" in r]
+    assert rows, "no gspmd_client_pad_frac in the round log"
+    assert rows[-1]["gspmd_client_pad_frac"] == pytest.approx(0.25)
+    # and the dividing case logs zero / nothing
+    eng2 = _engine(make_mesh(client=2, data=1), stage=0, num_clients=2)
+    eng2.run_rounds(stage=0, num_rounds=1)
+    rows2 = [r for r in eng2.logger.history
+             if r.get("gspmd_client_pad_frac")]
+    assert not rows2

@@ -46,7 +46,7 @@ def tiny_pair():
 
     cfg = dataclasses.replace(config_from_hf(hf_cfg),
                               language_token=2, task_token=3,
-                              no_timestamps_token=4)
+                              no_timestamps_token=4, prev_token=5)
     params = port_hf_whisper(hf.state_dict(), cfg)
     return hf, cfg, params
 
@@ -200,8 +200,12 @@ def test_teacher_longform_transcribes_the_tail(tiny_pair):
     teacher = WhisperTeacher(
         cfg, params, detokenize=lambda ids: "-".join(map(str, ids)),
         # disable the quality gates: windows of random audio on a random
-        # model legitimately fail them, and this test pins the chunking
-        compression_ratio_threshold=None, logprob_threshold=None)
+        # model legitimately fail them, and this test pins the chunking.
+        # conditioning off: window-w-of-one-clip == clip-of-its-own only
+        # without cross-window context (the conditioned path is pinned by
+        # test_teacher_conditioning_* below)
+        compression_ratio_threshold=None, logprob_threshold=None,
+        condition_on_previous_text=False)
     chunk = teacher.chunk
     rng = np.random.default_rng(8)
     audio = rng.normal(0, 0.5, size=int(2.5 * chunk)).astype(np.float32)
@@ -211,6 +215,119 @@ def test_teacher_longform_transcribes_the_tail(tiny_pair):
         [audio[:chunk], audio[chunk:2 * chunk], audio[2 * chunk:]]) if t]
     assert stitched == " ".join(per_window)
     assert len(per_window) >= 2  # the tail was actually decoded
+
+
+def test_decode_with_stats_prompt_conditioning_exact(tiny_pair):
+    """The batched left-padded prompt path must be EXACT: decoding a batch
+    whose rows carry different-length prompts equals decoding each row
+    alone with a tightly-sized prompt buffer (padding slots are attention-
+    masked and positions are assigned per row), and a zero-length prompt
+    row equals the unconditioned decode."""
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(11)
+    mel = jnp.asarray(rng.normal(0, 1, size=(
+        2, 2 * cfg.max_source_positions, cfg.num_mel_bins)).astype(np.float32))
+
+    p = 6
+    prompts = np.full((2, p), cfg.eot_token, np.int32)
+    row0 = [cfg.prev_token, 7, 8, 9]          # 4-token prompt
+    prompts[0, p - len(row0):] = row0
+    plens = np.asarray([len(row0), 0], np.int32)
+    toks, _ = decode_with_stats(cfg, params, mel,
+                                prompt_ids=jnp.asarray(prompts),
+                                prompt_lens=jnp.asarray(plens))
+    toks = np.asarray(toks)
+
+    # row 0 alone, prompt buffer exactly its length (no padding at all);
+    # token budgets differ with the buffer size, so compare the shared
+    # prefix (the stepwise selections must be identical)
+    solo0, _ = decode_with_stats(
+        cfg, params, mel[:1],
+        prompt_ids=jnp.asarray([row0], jnp.int32),
+        prompt_lens=jnp.asarray([len(row0)], jnp.int32))
+    n0 = min(toks.shape[1], np.asarray(solo0).shape[1])
+    np.testing.assert_array_equal(toks[0, :n0], np.asarray(solo0)[0, :n0])
+
+    # row 1 (empty prompt) == the unconditioned program, token for token
+    plain, _ = decode_with_stats(cfg, params, mel[1:])
+    n = min(toks.shape[1], np.asarray(plain).shape[1])
+    np.testing.assert_array_equal(toks[1, :n], np.asarray(plain)[0, :n])
+
+
+def test_decode_with_stats_prompt_changes_decode(tiny_pair):
+    """Conditioning must actually reach the decoder: some prompt changes
+    the decoded tokens for the same audio."""
+    _, cfg, params = tiny_pair
+    rng = np.random.default_rng(12)
+    mel = jnp.asarray(rng.normal(0, 1, size=(
+        1, 2 * cfg.max_source_positions, cfg.num_mel_bins)).astype(np.float32))
+    plain, _ = decode_with_stats(cfg, params, mel)
+    diffs = 0
+    for fill in ((7, 8, 9, 10), (13, 17, 23, 29), (40, 41, 42, 43)):
+        prompt = np.asarray([[cfg.prev_token, *fill]], np.int32)
+        cond, _ = decode_with_stats(
+            cfg, params, mel, prompt_ids=jnp.asarray(prompt),
+            prompt_lens=jnp.asarray([prompt.shape[1]], np.int32))
+        n = min(np.asarray(plain).shape[1], np.asarray(cond).shape[1])
+        if not np.array_equal(np.asarray(cond)[0, :n],
+                              np.asarray(plain)[0, :n]):
+            diffs += 1
+    assert diffs > 0, "no prompt changed the decode — conditioning inert"
+
+
+def test_teacher_conditioning_changes_boundary_case(tiny_pair):
+    """VERDICT r3 #5 done-criterion: on multi-window audio the conditioned
+    teacher (whisper.transcribe's condition_on_previous_text default) must
+    demonstrably produce a different stitched transcript than the
+    unconditioned round-3 behavior, while single-window (< 30 s) clips are
+    bit-identical either way."""
+    _, cfg, params = tiny_pair
+    from privacy_preserve_federated_asr_tpu.data.teacher import WhisperTeacher
+
+    kw = dict(detokenize=lambda ids: "-".join(map(str, ids)),
+              compression_ratio_threshold=None, logprob_threshold=None)
+    cond = WhisperTeacher(cfg, params, condition_on_previous_text=True,
+                          max_prompt_tokens=6, **kw)
+    plain = WhisperTeacher(cfg, params, condition_on_previous_text=False, **kw)
+    chunk = cond.chunk
+
+    # short clip: one window -> the conditioned path IS the plain path
+    rng = np.random.default_rng(13)
+    short = rng.normal(0, 0.5, size=chunk // 2).astype(np.float32)
+    assert cond.transcribe_batch([short]) == plain.transcribe_batch([short])
+
+    # multi-window: some seed's boundary decode must change under
+    # conditioning (random tiny model — check a few)
+    changed = False
+    for seed in range(14, 20):
+        audio = np.random.default_rng(seed).normal(
+            0, 0.5, size=int(2.5 * chunk)).astype(np.float32)
+        if cond.transcribe_batch([audio]) != plain.transcribe_batch([audio]):
+            changed = True
+            break
+    assert changed, "conditioning never affected a window boundary"
+
+
+def test_fallback_transcribe_full_tracks_ids_and_temps():
+    """The conditioning path needs each window's final ids and producing
+    temperature (whisper resets context after temperature > 0.5)."""
+    from privacy_preserve_federated_asr_tpu.data.teacher import (
+        fallback_transcribe_full,
+    )
+
+    def decode(idx, temp, seed):
+        if temp == 0.0:
+            return (["OK FINE HERE", "BAD"], [-0.2, -3.0],
+                    [np.asarray([10, 11]), np.asarray([12])])
+        return (["RECOVERED AT LAST"], [-0.5], [np.asarray([13, 14])])
+
+    texts, ids, temps = fallback_transcribe_full(
+        decode, 2, temperatures=(0.0, 0.2),
+        compression_ratio_threshold=2.4, logprob_threshold=-1.0)
+    assert texts == ["OK FINE HERE", "RECOVERED AT LAST"]
+    assert temps == [0.0, 0.2]
+    np.testing.assert_array_equal(ids[0], [10, 11])
+    np.testing.assert_array_equal(ids[1], [13, 14])
 
 
 def test_fallback_transcribe_escalates_temperature():
