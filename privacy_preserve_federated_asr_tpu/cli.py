@@ -291,17 +291,23 @@ def cmd_federated(args):
     from .train.checkpoint import save_params
 
     mesh = None
-    if args.client_mesh > 1 or args.data_mesh > 1:
+    if args.client_mesh > 1 or args.data_mesh > 1 or args.model_mesh > 1:
         from .parallel import make_mesh, make_multislice_mesh
 
         if args.num_slices:
+            if args.model_mesh > 1:
+                raise SystemExit(
+                    "--model_mesh is not supported with --num_slices "
+                    "(TP collectives must ride ICI; lay TP out per slice)")
             mesh = make_multislice_mesh(client=args.client_mesh,
                                         data=args.data_mesh,
                                         num_slices=args.num_slices)
         else:
-            mesh = make_mesh(client=args.client_mesh, data=args.data_mesh)
+            mesh = make_mesh(client=args.client_mesh, data=args.data_mesh,
+                             model=args.model_mesh)
         print(f"[federated] device mesh: client={args.client_mesh} x "
               f"data={args.data_mesh}"
+              + (f" x model={args.model_mesh}" if args.model_mesh > 1 else "")
               + (f" over {args.num_slices} slices" if args.num_slices else ""))
 
     cfg = _dacs_cfg(args)
@@ -359,7 +365,7 @@ def cmd_federated(args):
         server_optimizer=args.server_optimizer,
         server_lr=args.server_lr, server_momentum=args.server_momentum,
         round_save_dir=args.round_save_dir, mesh=mesh,
-        zero1=args.fl_zero1)
+        zero1=args.fl_zero1, tp=args.model_mesh > 1)
     eng = FederatedEngine(cfg, fcfg, clients, public, test_exs, tok, params,
                           client_unsup_examples=unsup_clients)
 
@@ -882,6 +888,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(requires --data_mesh >= 2); the memory lever for "
                         "K=4-8 large-model clients per mesh — stage-0 "
                         "rounds stack full per-client moments otherwise")
+    p.add_argument("--model_mesh", type=int, default=1,
+                   help="tensor-parallel devices per client (the 'model' "
+                        "mesh axis): Megatron-shard each client's encoder "
+                        "matmuls + their Adam moments inside the round "
+                        "(parallel/tp.py; composes with --fl_zero1 — TP "
+                        "leaves keep the TP layout, the rest shards over "
+                        "'data')")
     p.add_argument("--fedprox_mu", type=float, default=0.0,
                    help="FedProx proximal coefficient on the local "
                         "objective (0 = reference FedAvg semantics)")

@@ -122,6 +122,14 @@ class FederatedConfig:
     # fp32 moment sets. Training math is unchanged (layout only); requires
     # fcfg.mesh with a "data" axis of size >= 2.
     zero1: bool = False
+    # Tensor parallelism inside the FL round (parallel/tp.py; beyond the
+    # reference): Megatron-shard each client's encoder matmuls (and their
+    # Adam moments) over a "model" mesh axis — the scale path for
+    # backbones whose per-client state exceeds one chip even with zero1.
+    # Composes with zero1 (TP-sharded leaves keep the TP layout; the rest
+    # shard over "data"). Requires fcfg.mesh with a "model" axis >= 2
+    # (make_mesh(model=N)).
+    tp: bool = False
     # Keep client datasets resident on device across rounds and send only
     # per-round batch-index permutations (client data is static: every round
     # runs local_ep whole-dataset epochs, so per-round staging re-uploads
@@ -240,6 +248,12 @@ class FederatedConfig:
                 "zero1 shards per-client Adam moments over the 'data' mesh "
                 "axis: set fcfg.mesh to a Mesh with a 'data' axis of size "
                 ">= 2 (e.g. ('client', 'data') = (K, N/K))")
+        if self.tp and (
+                self.mesh is None or int(self.mesh.shape.get("model", 1)) < 2):
+            raise ValueError(
+                "tp Megatron-shards each client's encoder matmuls over the "
+                "'model' mesh axis: set fcfg.mesh to a Mesh with a 'model' "
+                "axis of size >= 2 (make_mesh(client=K, data=D, model=M))")
         if self.dp_noise_multiplier and self.dp_clip_norm is None:
             # noise std is defined as clip * multiplier / K — without a clip
             # norm there is no DP at all; silently running plain FedAvg
@@ -270,6 +284,11 @@ class FederatedEngine:
                 f"method={cfg.method!r}")
         self.cfg = cfg
         self.fcfg = fcfg
+        if fcfg.tp:
+            from ..parallel.tp import validate_tp_divisibility
+
+            validate_tp_divisibility(cfg.backbone,
+                                     int(fcfg.mesh.shape["model"]))
         self.client_ids = sorted(client_examples.keys(), key=str)
         self.client_examples = client_examples
         # pseudo-labeled (teacher-transcribed) per-client data for the
@@ -606,21 +625,63 @@ class FederatedEngine:
         mt_model = (DACSModel(mt_cfg, dtype=_dtype(f.compute_dtype), remat=f.remat)
                     if any(k == "mt" for k, _ in phase_specs) else None)
 
-        if f.zero1:
-            from ..parallel.zero import zero1_constrain
+        # sharding constraints inside the round (zero1 and/or tp): pin the
+        # per-client Adam moments (and, under tp, the params' matmul
+        # families) to their target layout at init and on every scan-carry
+        # hop, so XLA keeps the shards live instead of materializing full
+        # per-client state. tp takes precedence per leaf; zero1 covers the
+        # rest (the standard Megatron + ZeRO composition).
+        if f.zero1 or f.tp:
+            from ..parallel.tp import _path_names, tp_partition_spec
+            from ..parallel.zero import zero1_partition_spec
 
-            def z1(tree, _mesh=f.mesh):
-                return zero1_constrain(tree, _mesh)
+            data_n = int(f.mesh.shape.get("data", 1))
+
+            def _spec(path, leaf):
+                ndim = getattr(leaf, "ndim", 0)
+                spec = (tp_partition_spec(_path_names(path), ndim)
+                        if f.tp else P())
+                if f.zero1 and all(a is None for a in spec):
+                    spec = zero1_partition_spec(tuple(leaf.shape), data_n)
+                return spec
+
+            def _constrain(x, spec, _mesh=f.mesh):
+                # Inside the shard_map(client-manual) body the constraint
+                # must bind against the CONTEXT (partial-manual) mesh — a
+                # concrete NamedSharding's all-Auto mesh leaks into
+                # downstream aval shardings (e.g. the grad cotangent ->
+                # optax zeros_like) and trips the context-mesh check. A
+                # bare PartitionSpec resolves against the context mesh; in
+                # the GSPMD-vmap fallback there is no context mesh, so the
+                # NamedSharding form applies there.
+                am = jax.sharding.get_abstract_mesh()
+                if am is not None and getattr(am, "_any_axis_manual", False):
+                    return jax.lax.with_sharding_constraint(x, spec)
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(_mesh, spec))
+
+            def z1(tree):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, x: _constrain(x, _spec(path, x)), tree)
+
+            def tp_params(tree):
+                if not f.tp:
+                    return tree
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, x: _constrain(
+                        x, tp_partition_spec(_path_names(path), x.ndim)),
+                    tree)
         else:
             z1 = None
+            tp_params = None
 
         def z1_wrap(step_fn):
-            # pin the updated Adam moments to their ZeRO-1 layout on every
-            # scan-carry hop, so XLA keeps the 1/data_n-sized shards live
-            # instead of materializing full per-client moment sets
             def stepped(st, batch, _step=step_fn):
                 st, metrics = _step(st, batch)
-                return st.replace(opt_state=z1(st.opt_state)), metrics
+                st = st.replace(opt_state=z1(st.opt_state))
+                if f.tp:
+                    st = st.replace(params=tp_params(st.params))
+                return st, metrics
             return stepped
 
         txs, steps_fns = [], []
@@ -656,6 +717,8 @@ class FederatedEngine:
                      if kind == "mt" else params)
                 p_anchor = (init_lm_heads_from_lm_head(round_start, n_lms)
                             if kind == "mt" else round_start)
+                if tp_params is not None:
+                    p = tp_params(p)
                 opt0 = tx.init(p_anchor)
                 if z1 is not None:
                     opt0 = z1(opt0)

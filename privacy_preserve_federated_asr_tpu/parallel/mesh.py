@@ -25,15 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    client: int = 1, data: int | None = None, devices=None
+    client: int = 1, data: int | None = None, devices=None, model: int = 1
 ) -> Mesh:
-    """Build a (client, data) mesh. ``data=None`` uses all remaining devices."""
+    """Build a (client, data) mesh — or (client, data, model) when
+    ``model > 1`` (tensor parallelism inside each client's device group,
+    FederatedConfig.tp). ``data=None`` uses all remaining devices."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
-        data = max(len(devices) // client, 1)
-    n = client * data
+        data = max(len(devices) // (client * model), 1)
+    n = client * data * model
     if n > len(devices):
-        raise ValueError(f"mesh {client}x{data} needs {n} devices, have {len(devices)}")
+        raise ValueError(
+            f"mesh {client}x{data}" + (f"x{model}" if model > 1 else "")
+            + f" needs {n} devices, have {len(devices)}")
+    if model > 1:
+        arr = np.array(devices[:n]).reshape(client, data, model)
+        return Mesh(arr, ("client", "data", "model"))
     arr = np.array(devices[:n]).reshape(client, data)
     return Mesh(arr, ("client", "data"))
 

@@ -53,8 +53,13 @@ from .engine import InferenceEngine, InferenceResult
 @dataclass
 class StreamingConfig:
     # frames farther than this behind the audio frontier are finalized;
-    # the streaming latency / stability knob
-    right_context_seconds: float = 1.0
+    # the streaming latency / stability knob. Default from the on-chip
+    # stream-report (PERF.md §6, 2026-08-20): 0.4 s is the smallest grid
+    # point with zero early-finalization flips on the flagship
+    # architecture (~89% of frames finalize early). Measured on
+    # random-init weights + synthetic audio — re-run `cli stream-report`
+    # on YOUR checkpoint before committing a latency budget.
+    right_context_seconds: float = 0.4
     # run an incremental pass at most this often (seconds of new audio);
     # smaller = lower latency, more device passes
     min_hop_seconds: float = 0.5

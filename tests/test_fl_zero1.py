@@ -188,3 +188,75 @@ def test_gspmd_pad_frac_logged():
     rows2 = [r for r in eng2.logger.history
              if r.get("gspmd_client_pad_frac")]
     assert not rows2
+
+
+# --------------------------------------------------- TP inside the round
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_fl_tp_matches_plain_meshed_rounds():
+    """TP (Megatron constraint on each client's encoder matmuls inside the
+    jitted round) relocates compute, not math: the round trajectory must
+    match the plain (client, data) meshed round within the reduction-order
+    tolerance the Trainer TP tests use."""
+    mesh_tp = make_mesh(client=2, data=1, model=2)
+    mesh_pl = make_mesh(client=2, data=2)
+    pa = _engine(mesh_pl, stage=0).run_rounds(0, 1)
+    pb = _engine(mesh_tp, stage=0, tp=True).run_rounds(0, 1)
+    for path in (("lm_head", "kernel"),
+                 ("backbone", "encoder", "layers_0", "attention", "q_proj",
+                  "kernel"),
+                 ("backbone", "encoder", "layers_0", "feed_forward",
+                  "intermediate_dense", "kernel")):
+        np.testing.assert_allclose(
+            np.asarray(jax.device_get(_leaf(pb, *path))),
+            np.asarray(jax.device_get(_leaf(pa, *path))),
+            rtol=2e-4, atol=1e-6, err_msg="/".join(path))
+
+
+def test_fl_tp_requires_model_axis():
+    with pytest.raises(ValueError, match="tp"):
+        FederatedConfig(tp=True)  # no mesh
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError, match="tp"):
+            FederatedConfig(tp=True, mesh=make_mesh(client=2, data=1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fl_tp_zero1_compose():
+    """The standard Megatron + ZeRO composition on a
+    (client=2, data=2, model=2) mesh: trajectory == plain meshed rounds,
+    and the debug moment arrays carry BOTH layouts — matmul-family moments
+    sharded over 'model', the rest over 'data'."""
+    mesh = make_mesh(client=2, data=2, model=2)
+    mesh_pl = make_mesh(client=2, data=2)
+    pa = _engine(mesh_pl, stage=0).run_rounds(0, 1)
+    eng = _engine(mesh, stage=0, zero1=True, tp=True)
+    eng._debug_keep_opt_state = True
+    pb = eng.run_rounds(0, 1)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(_leaf(pb, "lm_head", "kernel"))),
+        np.asarray(jax.device_get(_leaf(pa, "lm_head", "kernel"))),
+        rtol=2e-4, atol=1e-6)
+
+    # physical layout: walk the debug opt state's Adam moment trees
+    opt = eng._debug_opt_state
+    assert opt is not None
+
+    def shard_frac(x):
+        return np.prod(x.addressable_shards[0].data.shape) / np.prod(x.shape)
+
+    n_client = 2
+    tp_sharded = other_sharded = 0
+    for x in jax.tree.leaves(opt):
+        if not (hasattr(x, "addressable_shards") and x.ndim >= 3
+                and x.shape[0] == n_client):
+            continue
+        # every stacked moment must be at most 1/(client*2)-sized per
+        # device (client axis + one of model/data)
+        if shard_frac(x) <= 1.0 / (n_client * 2):
+            if x.ndim >= 3 and x.shape[-1] % 2 == 0:
+                tp_sharded += 1
+            else:
+                other_sharded += 1
+    assert tp_sharded + other_sharded > 0
