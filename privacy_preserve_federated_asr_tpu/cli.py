@@ -792,7 +792,8 @@ def cmd_teacher(args):
         wtok = WhisperTokenizer.from_pretrained(str(d))
         teacher = WhisperTeacher(
             wcfg, port_hf_whisper(sd, wcfg),
-            lambda ids: wtok.decode(ids, skip_special_tokens=True))
+            lambda ids: wtok.decode(ids, skip_special_tokens=True),
+            timestamps=args.timestamps)
         trs = teacher.transcribe(exs, batch_size=args.eval_batch_size)
     else:
         from .data.teacher import transcribe_with_ctc_model
@@ -1043,6 +1044,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(config.json + pytorch_model.bin + tokenizer); "
                         "default teacher is this framework's CTC model "
                         "from -model_in (self-training)")
+    p.add_argument("--timestamps", action="store_true",
+                   help="whisper-teacher only: decode with timestamp "
+                        "tokens and advance windows by the last predicted "
+                        "segment boundary (upstream whisper.transcribe's "
+                        "seek rule) instead of fixed 30 s hops")
     p.set_defaults(fn=cmd_teacher)
 
     p = sub.add_parser("transcribe",

@@ -166,7 +166,9 @@ class WhisperTeacher:
                  compression_ratio_threshold: float | None = 2.4,
                  logprob_threshold: float | None = -1.0,
                  condition_on_previous_text: bool = True,
-                 max_prompt_tokens: int | None = None):
+                 max_prompt_tokens: int | None = None,
+                 timestamps: bool = False,
+                 max_initial_timestamp: float | None = 1.0):
         import jax
         import jax.numpy as jnp
 
@@ -191,7 +193,14 @@ class WhisperTeacher:
         # forward). Prompt capacity follows whisper's n_ctx//2 - 1, capped
         # so at least 1/4 of the positions stay for sampled tokens.
         self.condition_on_previous_text = condition_on_previous_text
-        n_forced = len(cfg.forced_tokens())
+        # whisper transcribe's default decodes WITH timestamp tokens and
+        # seeks each window to the last predicted segment boundary
+        # (timestamp_seek) instead of a fixed 30 s hop; off by default here
+        # (fixed windows — the round-3 behavior) because it needs a
+        # timestamp-token vocab range. `cli teacher --timestamps` enables.
+        self.timestamps = timestamps
+        self.max_initial_timestamp = max_initial_timestamp
+        n_forced = len(cfg.forced_tokens(timestamps))
         self.max_prompt = (max_prompt_tokens if max_prompt_tokens is not None
                            else min(cfg.max_target_positions // 2 - 1,
                                     cfg.max_target_positions
@@ -204,20 +213,37 @@ class WhisperTeacher:
             mel = log_mel_spectrogram(audio, cfg.num_mel_bins)
             return decode_with_stats(cfg, params, mel,
                                      temperature=temperature, rng=rng,
-                                     dtype=dtype)
+                                     dtype=dtype, timestamps=timestamps,
+                                     max_initial_timestamp=max_initial_timestamp)
 
         def _run_cond(params, audio, temperature, rng, prompt_ids, prompt_lens):
             mel = log_mel_spectrogram(audio, cfg.num_mel_bins)
             return decode_with_stats(cfg, params, mel,
                                      temperature=temperature, rng=rng,
                                      dtype=dtype, prompt_ids=prompt_ids,
-                                     prompt_lens=prompt_lens)
+                                     prompt_lens=prompt_lens,
+                                     timestamps=timestamps,
+                                     max_initial_timestamp=max_initial_timestamp)
 
         self._run = jax.jit(_run)
         self._run_cond = jax.jit(_run_cond)
 
     def _ids_to_text(self, row) -> str:
         eot = self.cfg.eot_token
+        if self.timestamps:
+            # strip timestamp + special tokens (upstream keeps only ids
+            # below EOT for the text); stop at the first EOT
+            tb = self.cfg.timestamp_begin
+            specials = set(self.cfg.forced_tokens(False)) | {
+                eot, self.cfg.prev_token}
+            toks = []
+            for t in row:
+                t = int(t)
+                if t == eot:
+                    break
+                if t < tb and t not in specials:
+                    toks.append(t)
+            return self.detokenize(toks).upper().strip()
         return self.detokenize(
             [int(t) for t in row if int(t) != eot]).upper().strip()
 
@@ -252,8 +278,15 @@ class WhisperTeacher:
         conditioned on its clip's window-0 tokens), and so on — batching
         rides the clip axis instead of the window axis, and single-window
         (< 30 s) clips are bit-identical to the unconditioned path. Without
-        it, ALL windows decode as one batch (round-3 behavior)."""
+        it, ALL windows decode as one batch (round-3 behavior).
+
+        With ``timestamps`` each window decodes with whisper's timestamp
+        rules and advances by the last predicted segment boundary
+        (``timestamp_seek``) instead of a fixed ``chunk`` hop — the
+        remaining piece of ``whisper.transcribe``'s long-form semantics."""
         clips = [np.asarray(a, np.float32) for a in audios]
+        if self.timestamps:
+            return self._transcribe_seek(clips)
         n_wins = [max(1, -(-len(a) // self.chunk)) for a in clips]
 
         if not self.condition_on_previous_text or max(n_wins) == 1:
@@ -314,6 +347,66 @@ class WhisperTeacher:
                     parts[i].append(texts[j])
                 prev[i] = ([int(t) for t in ids[j] if int(t) != eot],
                            temps[j])
+        return [" ".join(ps) for ps in parts]
+
+    def _transcribe_seek(self, clips: list[np.ndarray]) -> list[str]:
+        """Timestamp-seek long-form loop (upstream whisper.transcribe):
+        each clip keeps its own ``seek`` frontier; a window's advance is the
+        last CONSECUTIVE-timestamp-pair boundary it predicted (or the whole
+        window when it ends mid-segment — :func:`models.whisper
+        .timestamp_seek`, which also guards a non-positive advance).
+        Batching rides the clip axis: all clips still needing audio decode
+        together each iteration. Conditioning and the temperature-fallback
+        gates compose unchanged; the conditioning context is the consumed
+        text tokens only (timestamps/specials stripped), as upstream."""
+        from ..models.whisper import timestamp_seek
+
+        eot = self.cfg.eot_token
+        parts: list[list[str]] = [[] for _ in clips]
+        seek = [0] * len(clips)
+        prev: list[tuple[list[int], float] | None] = [None] * len(clips)
+        pending = list(range(len(clips)))  # every clip decodes >= 1 window
+        w = 0
+        while pending:
+            rows = pending
+            stack = np.stack([
+                self._pad_or_trim(clips[i][seek[i] : seek[i] + self.chunk])
+                for i in rows])
+            if self.condition_on_previous_text and w > 0:
+                p = self.max_prompt
+                prompts = np.full((len(rows), p), eot, np.int32)
+                plens = np.zeros((len(rows),), np.int32)
+                for j, i in enumerate(rows):
+                    ctx = prev[i]
+                    if ctx is None or ctx[1] > 0.5 or not ctx[0]:
+                        continue
+                    toks = [self.cfg.prev_token] + ctx[0][-(p - 1):]
+                    prompts[j, p - len(toks):] = toks
+                    plens[j] = len(toks)
+                _, ids, temps = fallback_transcribe_full(
+                    lambda idx, t, s: self._decode_windows(
+                        stack, idx, t, s, prompts, plens),
+                    len(rows), self.temperatures,
+                    self.compression_ratio_threshold, self.logprob_threshold,
+                    seed=w)
+            else:
+                _, ids, temps = fallback_transcribe_full(
+                    lambda idx, t, s: self._decode_windows(stack, idx, t, s),
+                    len(rows), self.temperatures,
+                    self.compression_ratio_threshold, self.logprob_threshold,
+                    seed=w)
+            pending = []
+            for j, i in enumerate(rows):
+                advance, text_ids = timestamp_seek(self.cfg, ids[j])
+                txt = (self.detokenize(text_ids).upper().strip()
+                       if text_ids else "")
+                if txt:
+                    parts[i].append(txt)
+                prev[i] = (text_ids, temps[j])
+                seek[i] += advance
+                if seek[i] < len(clips[i]):
+                    pending.append(i)
+            w += 1
         return [" ".join(ps) for ps in parts]
 
     def transcribe(self, examples: Sequence[AsrExample],

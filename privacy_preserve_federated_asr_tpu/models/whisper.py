@@ -47,10 +47,27 @@ class WhisperConfigT:
     task_token: int = 50359         # <|transcribe|>
     no_timestamps_token: int = 50363
     prev_token: int = 50361         # <|startofprev|> (window conditioning)
+    # first timestamp token id (<|0.00|>); None = no_timestamps_token + 1
+    # (whisper's vocab layout). Timestamp token k encodes time
+    # (k - timestamp_begin) * 0.02 s = one encoder frame (2 mel frames of
+    # HOP samples) — see ``timestamp_stride_samples``.
+    timestamp_begin_token: int | None = None
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.num_heads
+
+    @property
+    def timestamp_begin(self) -> int:
+        return (self.timestamp_begin_token
+                if self.timestamp_begin_token is not None
+                else self.no_timestamps_token + 1)
+
+    @property
+    def timestamp_stride_samples(self) -> int:
+        """Waveform samples per timestamp unit (whisper's time_precision of
+        0.02 s at 16 kHz: one encoder frame = 2 mel frames of HOP)."""
+        return 2 * HOP
 
     @classmethod
     def large_v2(cls) -> "WhisperConfigT":
@@ -93,10 +110,13 @@ class WhisperConfigT:
             prev_token=eot + 104,          # <|startofprev|>
         )
 
-    def forced_tokens(self) -> list[int]:
-        """The reference's ``language='en'`` transcription prompt."""
-        return [self.sot_token, self.language_token, self.task_token,
-                self.no_timestamps_token]
+    def forced_tokens(self, timestamps: bool = False) -> list[int]:
+        """The reference's ``language='en'`` transcription prompt. With
+        ``timestamps`` the ``<|notimestamps|>`` token is omitted (upstream
+        ``whisper.transcribe``'s default ``without_timestamps=False``) and
+        the decode applies the timestamp sampling rules."""
+        toks = [self.sot_token, self.language_token, self.task_token]
+        return toks if timestamps else toks + [self.no_timestamps_token]
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +384,8 @@ def decode_with_stats(
     dtype: jnp.dtype = jnp.float32,
     prompt_ids: jax.Array | None = None,
     prompt_lens: jax.Array | None = None,
+    timestamps: bool = False,
+    max_initial_timestamp: float | None = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched transcription with decode statistics: [B, T_mel, M] ->
     (token ids [B, max_target_positions] eot-padded, avg_logprob [B]).
@@ -383,10 +405,23 @@ def decode_with_stats(
     RIGHT-aligned (left-padded with anything); padding cache slots are
     attention-masked per row and position ids start at 0 at each row's
     first real token, so variable-length prompts batch exactly. The
-    decode statistics cover only the sampled tokens, as in whisper."""
+    decode statistics cover only the sampled tokens, as in whisper.
+
+    ``timestamps`` (static) switches on whisper's timestamp decoding
+    (upstream ``without_timestamps=False``, the ``whisper.transcribe``
+    default the reference teacher inherits): the ``<|notimestamps|>``
+    prompt token is dropped and upstream ``ApplyTimestampRules`` is applied
+    at every step inside the scan — the first sampled token must be a
+    timestamp (capped at ``max_initial_timestamp`` seconds), timestamps
+    come in pairs (after a lone timestamp only a timestamp or EOT may
+    follow; after a completed pair a text token must), they are
+    monotonically non-decreasing, and whenever the total timestamp
+    probability exceeds the best text token's, a timestamp is forced.
+    Host-side seek/segment extraction over the returned ids is
+    :func:`timestamp_seek`."""
     c = cfg
     model = WhisperModel(c, dtype)
-    prompt = jnp.asarray(c.forced_tokens(), dtype=jnp.int32)
+    prompt = jnp.asarray(c.forced_tokens(timestamps), dtype=jnp.int32)
     n_prompt = int(prompt.shape[0])
     n_prev = 0 if prompt_ids is None else int(prompt_ids.shape[1])
     total = c.max_target_positions
@@ -444,9 +479,45 @@ def decode_with_stats(
             cache_start=start)
         cache = vars_["cache"]
 
-    def select(logits_last, key):
+    tb = c.timestamp_begin
+    ids_row = jnp.arange(c.vocab_size)
+    is_ts_tok = ids_row >= tb
+    NEG = jnp.float32(-1e30)
+
+    def ts_filter(lg, st, first_step: bool):
+        """Upstream whisper ApplyTimestampRules, vectorized per row.
+        ``st`` = (prev_was_ts, prevprev_was_ts, last_ts_id)."""
+        prev_ts, prevprev_ts, last_ts = st
+        lg = lg.astype(jnp.float32)
+        after_pair = prev_ts & prevprev_ts   # pair closed: text must follow
+        mid_pair = prev_ts & ~prevprev_ts    # lone ts: only ts or EOT next
+        lg = jnp.where(after_pair[:, None] & is_ts_tok[None, :], NEG, lg)
+        ok_mid = is_ts_tok | (ids_row == c.eot_token)
+        lg = jnp.where(mid_pair[:, None] & ~ok_mid[None, :], NEG, lg)
+        # monotonic: suppress tb <= id < floor (closing a pair may repeat
+        # the opening timestamp; a new segment must move strictly past it)
+        floor = jnp.where(mid_pair, last_ts, last_ts + 1)
+        lg = jnp.where((ids_row[None, :] >= tb)
+                       & (ids_row[None, :] < floor[:, None]), NEG, lg)
+        if first_step:
+            lg = jnp.where(~is_ts_tok[None, :], NEG, lg)
+            if max_initial_timestamp is not None:
+                cap = tb + int(round(max_initial_timestamp * SAMPLE_RATE
+                                     / c.timestamp_stride_samples))
+                lg = jnp.where(ids_row[None, :] > cap, NEG, lg)
+        # if the total timestamp probability beats every text token,
+        # a timestamp must be sampled
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        ts_lp = jax.scipy.special.logsumexp(lp[:, tb:], axis=-1)
+        max_text = jnp.max(lp[:, :tb], axis=-1)
+        force_ts = ts_lp > max_text
+        return jnp.where(force_ts[:, None] & ~is_ts_tok[None, :], NEG, lg)
+
+    def select(logits_last, key, st=None, first_step=False):
         """Greedy at temperature 0, categorical otherwise, plus the
         selected token's log-prob."""
+        if timestamps:
+            logits_last = ts_filter(logits_last, st, first_step)
         lp = jax.nn.log_softmax(logits_last.astype(jnp.float32), axis=-1)
         greedy = jnp.argmax(logits_last, axis=-1).astype(jnp.int32)
         scaled = logits_last.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
@@ -454,27 +525,39 @@ def decode_with_stats(
         nxt = jnp.where(temperature > 0.0, sampled, greedy)
         return nxt, jnp.take_along_axis(lp, nxt[:, None], axis=1)[:, 0]
 
-    first, lp_first = select(logits[:, -1, :], jax.random.fold_in(rng, 0))
+    st0 = (jnp.zeros((b,), bool), jnp.zeros((b,), bool),
+           jnp.full((b,), tb - 1, jnp.int32))
+    first, lp_first = select(logits[:, -1, :], jax.random.fold_in(rng, 0),
+                             st=st0, first_step=True)
     done0 = first == c.eot_token
     sum_lp0 = lp_first
     n_emit0 = jnp.ones((b,), jnp.float32)
 
+    def next_state(st, nxt, done):
+        prev_ts, prevprev_ts, last_ts = st
+        is_ts = (nxt >= tb) & ~done
+        return (is_ts, prev_ts, jnp.where(is_ts, nxt, last_ts))
+
+    st1 = next_state(st0, first, done0)
+
     def step(carry, i):
-        cache, tok, done, sum_lp, n_emit = carry
+        cache, tok, done, sum_lp, n_emit, st = carry
         logits, vars_ = model.apply(
             {"params": params, "cache": cache}, tok[:, None], enc,
             plen + n_prompt + i, method=WhisperModel.decode_step,
             mutable=["cache"], cache_start=start)
         cache = vars_["cache"]
-        nxt, lp = select(logits[:, -1, :], jax.random.fold_in(rng, i + 1))
+        nxt, lp = select(logits[:, -1, :], jax.random.fold_in(rng, i + 1),
+                         st=st)
         nxt = jnp.where(done, c.eot_token, nxt)
         sum_lp = sum_lp + jnp.where(done, 0.0, lp)
         n_emit = n_emit + jnp.where(done, 0.0, 1.0)
+        st = next_state(st, nxt, done)
         done = done | (nxt == c.eot_token)
-        return (cache, nxt, done, sum_lp, n_emit), tok
+        return (cache, nxt, done, sum_lp, n_emit, st), tok
 
-    (_, last, _, sum_lp, n_emit), toks = jax.lax.scan(
-        step, (cache, first, done0, sum_lp0, n_emit0),
+    (_, last, _, sum_lp, n_emit, _), toks = jax.lax.scan(
+        step, (cache, first, done0, sum_lp0, n_emit0, st1),
         jnp.arange(max_new_tokens - 1))
     out = jnp.concatenate([toks.transpose(1, 0), last[:, None]], axis=1)
     pad = total - n_prompt - n_prev - out.shape[1]
@@ -499,6 +582,44 @@ def greedy_decode(
     out, _ = decode_with_stats(cfg, params, mel, temperature=0.0,
                                max_new_tokens=max_new_tokens, dtype=dtype)
     return out
+
+
+def timestamp_seek(cfg: WhisperConfigT, ids) -> tuple[int, list[int]]:
+    """Upstream ``whisper.transcribe``'s seek rule over one window's decoded
+    ids (with ``timestamps=True``): returns ``(advance_samples, text_ids)``.
+
+    If the window ends with complete segments (there is at least one
+    CONSECUTIVE timestamp pair — a segment end abutting the next segment
+    start), seek advances to the last such boundary's predicted time;
+    otherwise (one unterminated segment) it advances the whole window.
+    A zero/negative predicted advance falls back to the whole window so a
+    degenerate decode can never stall the transcription loop.
+    ``text_ids`` are the sampled tokens with timestamps and specials
+    stripped — what the stitched transcript and the next window's
+    conditioning prompt use (upstream keeps only ids below EOT)."""
+    tb = cfg.timestamp_begin
+    specials = set(cfg.forced_tokens(False)) | {cfg.eot_token, cfg.prev_token}
+    toks: list[int] = []
+    for t in ids:
+        t = int(t)
+        if t == cfg.eot_token:
+            break
+        toks.append(t)
+    def text_of(seq):
+        return [t for t in seq if t < tb and t not in specials]
+
+    window = cfg.max_source_positions * cfg.timestamp_stride_samples
+    is_ts = [t >= tb for t in toks]
+    pair_ends = [i + 1 for i in range(len(toks) - 1)
+                 if is_ts[i] and is_ts[i + 1]]
+    if not pair_ends:
+        return window, text_of(toks)
+    last = pair_ends[-1]
+    advance = (toks[last - 1] - tb) * cfg.timestamp_stride_samples
+    if advance <= 0:
+        return window, text_of(toks)
+    # tokens past the boundary describe audio the NEXT window re-decodes
+    return advance, text_of(toks[: last + 1])
 
 
 def compression_ratio(text: str) -> float:

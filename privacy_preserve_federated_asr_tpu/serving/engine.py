@@ -149,15 +149,99 @@ class InferenceEngine:
                 return forward(p, x * mask, input_lengths)
 
             self._forward_i16 = jax.jit(forward_i16)
+
+        # ---- device-resident streaming programs (serving/streaming.py) ----
+        # A streaming session keeps its audio window ON DEVICE and uploads
+        # only the audio that arrived since the last pass: per-pass transport
+        # shrinks from the whole (batch_size, t) padded window to one chunk
+        # (PERF.md §6: the upload IS the dominant serving cost on this
+        # platform). Appends are dynamic_update_slice writes at a traced
+        # offset (one program per chunk bucket); the forward slices the
+        # buffer and does the masked zero-mean/unit-var normalization on
+        # device (the host twin is data/audio.py normalize_input_values).
+        def append_f32(buf, chunk, offset):
+            return jax.lax.dynamic_update_slice(buf, chunk, (offset,))
+
+        def append_i16(buf, chunk_i16, scale, offset):
+            return jax.lax.dynamic_update_slice(
+                buf, chunk_i16.astype(jnp.float32) * scale, (offset,))
+
+        self._append_f32 = jax.jit(append_f32)
+        self._append_i16 = jax.jit(append_i16)
+
+        def forward_res(p, buf, n, t):
+            x = jax.lax.slice(buf, (0,), (t,))[None, :]
+            il = jnp.reshape(n, (1,)).astype(jnp.int32)
+            mask = (jnp.arange(t)[None, :] < il[:, None]).astype(jnp.float32)
+            if self.scfg.normalize:
+                cnt = jnp.maximum(il.astype(jnp.float32), 1.0)
+                mean = (x * mask).sum(-1) / cnt
+                var = (jnp.square(x - mean[:, None]) * mask).sum(-1) / cnt
+                x = (x - mean[:, None]) / jnp.sqrt(var + 1e-7)[:, None]
+            return forward(p, x * mask, il)
+
+        self._forward_res = jax.jit(forward_res, static_argnums=(3,))
         self._queue: queue.Queue = queue.Queue()
         self._worker: threading.Thread | None = None
         self._stop = threading.Event()
 
     # ---- shape management ----
 
+    # chunk uploads for resident streaming sessions are bucketed to
+    # STREAM_CHUNK_QUANTUM samples (bounds the append-program count);
+    # feeds larger than STREAM_CHUNK_MAX are split host-side so a bucketed
+    # write never clamps against the buffer end
+    STREAM_CHUNK_QUANTUM = 2048
+    STREAM_CHUNK_MAX = 65536
+
     @property
     def max_samples(self) -> int:
         return int(self.scfg.max_seconds * 16000)
+
+    def alloc_stream_buffer(self) -> jax.Array:
+        """Fresh zeroed device window for a resident streaming session
+        (padded by one max chunk so dynamic_update_slice never clamps)."""
+        return jnp.zeros(
+            (self.max_samples + self.STREAM_CHUNK_MAX,), jnp.float32)
+
+    def append_stream(self, buf: jax.Array, audio: np.ndarray,
+                      offset: int) -> jax.Array:
+        """Upload ``audio`` into ``buf`` at sample ``offset`` and return the
+        new buffer. Pieces are bucketed to STREAM_CHUNK_QUANTUM; with
+        ``transport="int16"`` each piece ships as abs-max-scaled int16 + one
+        fp32 scale and is dequantized on device (per-piece scales — finer
+        than the batch path's per-row scale)."""
+        q, cmax = self.STREAM_CHUNK_QUANTUM, self.STREAM_CHUNK_MAX
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        for i in range(0, len(audio), cmax):
+            piece = audio[i : i + cmax]
+            b = -(-len(piece) // q) * q
+            if self.scfg.transport == "int16":
+                amax = float(np.max(np.abs(piece))) if len(piece) else 0.0
+                sc = np.float32(amax / 32767.0 if amax > 0.0 else 0.0)
+                pad = np.zeros((b,), np.int16)
+                if amax > 0.0:
+                    pad[: len(piece)] = np.clip(
+                        np.rint(piece / sc), -32767, 32767).astype(np.int16)
+                buf = self._append_i16(buf, pad, sc, np.int32(offset + i))
+            else:
+                pad = np.zeros((b,), np.float32)
+                pad[: len(piece)] = piece
+                buf = self._append_f32(buf, pad, np.int32(offset + i))
+        return buf
+
+    def warmup_streaming(self, buckets: Sequence[int] | None = None,
+                         chunk_samples: int = 8000) -> int:
+        """Precompile the resident-streaming programs: one forward per time
+        bucket plus the append program for ``chunk_samples``-sized feeds.
+        Returns the number of forward programs compiled."""
+        buckets = list(buckets) if buckets is not None else self._buckets()
+        buf = self.alloc_stream_buffer()
+        buf = self.append_stream(buf, np.zeros((chunk_samples,), np.float32), 0)
+        for t in buckets:
+            jax.block_until_ready(
+                self._forward_res(self.params, buf, np.int32(t), t))
+        return len(buckets)
 
     def _bucket(self, n_samples: int) -> int:
         q = self.scfg.time_multiple

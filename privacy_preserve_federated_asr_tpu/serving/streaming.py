@@ -36,6 +36,17 @@ abs-max-scaled int16 (the measured −25% serving-latency win, PERF.md §6);
 frames (``ops/beam.py ctc_beam_advance``) and re-decodes only the partial
 tail per pass — with no early finalization the finished top hypothesis is
 bit-identical to the batch beam decode.
+
+**Device-resident window** (``StreamingConfig.resident``, default on): the
+session's audio lives in a device buffer (``engine.alloc_stream_buffer``);
+each pass uploads only the new chunk (``engine.append_stream`` —
+dynamic_update_slice at the frontier, int16-encoded per the engine's
+``transport``) and runs a per-bucket forward that slices + mask-normalizes
+on device. Per-pass host→device traffic drops from the whole padded
+``(batch_size, t)`` window (up to ~MBs on every pass) to the chunk itself
+(KBs) — on the remote-tunnel/PCIe platforms where the upload dominates
+serving latency (PERF.md §6) this is the difference between re-paying the
+batch upload per hop and paying it once per stream.
 """
 
 from __future__ import annotations
@@ -63,6 +74,14 @@ class StreamingConfig:
     # run an incremental pass at most this often (seconds of new audio);
     # smaller = lower latency, more device passes
     min_hop_seconds: float = 0.5
+    # keep the session's audio window ON DEVICE and upload only the audio
+    # that arrived since the last pass (engine.alloc_stream_buffer /
+    # append_stream): per-pass transport drops from the whole padded
+    # (batch_size, t) window to one chunk — the dominant serving cost on a
+    # remote/PCIe link (PERF.md §6). Normalization moves on device (masked
+    # zero-mean/unit-var twin of the host path, ~1-ulp fp32 reduction-order
+    # difference). False = legacy host-window re-upload every pass.
+    resident: bool = True
 
 
 @dataclass
@@ -104,16 +123,33 @@ class StreamingSession:
             from ..ops.beam import ctc_beam_init
 
             self._beam_state = ctc_beam_init()
+        # device-resident window: allocated lazily on the first pass so
+        # sessions that never feed cost nothing
+        self._buf = None
+        self._uploaded = 0
 
     # ---- internals ----
 
     def _device_pass(self, audio: np.ndarray, n: int):
-        """One bucketed engine forward over the current window; mirrors the
-        batch path's transport (int16 chunks ship as abs-max-scaled int16 +
-        one fp32 scale, dequantized and normalized on device — the −25%
-        serving-latency win of PERF.md §6 applied per streaming pass, which
-        re-uploads the whole window)."""
+        """One bucketed engine forward over the current window.
+
+        Resident mode (default): the window lives on device; this uploads
+        only ``audio[_uploaded:n]`` (bucketed chunks, int16-encoded when the
+        engine's ``transport`` says so) and runs the per-bucket resident
+        forward, which slices + mask-normalizes on device. Legacy mode
+        re-uploads the whole padded ``(batch_size, t)`` window every pass
+        (int16 per-row encoding applies, the −25% batch win of PERF.md §6)."""
         eng = self.engine
+        if self.scfg.resident:
+            if self._buf is None:
+                self._buf = eng.alloc_stream_buffer()
+            if n > self._uploaded:
+                self._buf = eng.append_stream(
+                    self._buf, audio[self._uploaded : n], self._uploaded)
+                self._uploaded = n
+            t = eng._bucket(n)
+            return jax.device_get(eng._forward_res(
+                eng.params, self._buf, np.int32(min(n, t)), t))
         t = eng._bucket(n)
         il = np.zeros((eng.scfg.batch_size,), np.int32)
         il[0] = min(n, t)

@@ -264,6 +264,63 @@ def bench_transport_ab(batch_size=8, seconds=5.0, stage=2,
             flush=True)
 
 
+def bench_stream_ab(total_seconds=10.0, chunk_seconds=0.5, stage=2,
+                    compute_dtype="bfloat16", trials=3):
+    """Interleaved streaming A/B on the flagship model: legacy window
+    re-upload vs the device-resident buffer (StreamingConfig.resident),
+    each under float32 and int16 chunk transport. One utterance of
+    ``total_seconds`` streamed in ``chunk_seconds`` chunks with
+    min_hop == chunk (every feed runs a device pass); reports whole-stream
+    wall time and mean per-pass latency. Same-session interleaving, as with
+    ``transport`` (the tunnel variance dominates)."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine, ServingConfig, StreamingConfig, StreamingSession)
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    chunk = int(chunk_seconds * 16000)
+    audio = np.random.default_rng(0).normal(
+        0, 0.3, size=int(total_seconds * 16000)).astype(np.float32)
+    engines = {}
+    for tx in ("float32", "int16"):
+        eng = InferenceEngine(cfg, params, None, ServingConfig(
+            batch_size=8, max_seconds=total_seconds,
+            compute_dtype=compute_dtype, transport=tx))
+        eng.warmup()
+        eng.warmup_streaming(chunk_samples=chunk)
+        engines[tx] = eng
+
+    def run_stream(eng, resident):
+        s = StreamingSession(eng, StreamingConfig(
+            right_context_seconds=0.4, min_hop_seconds=chunk_seconds,
+            resident=resident))
+        t0 = time.perf_counter()
+        for i in range(0, len(audio), chunk):
+            s.feed(audio[i : i + chunk])
+        r = s.finish()
+        return time.perf_counter() - t0, r
+
+    configs = [(tx, res) for tx in engines for res in (False, True)]
+    results = {c: [] for c in configs}
+    n_passes = len(audio) // chunk + 1  # feeds + finish
+    for _ in range(trials):
+        for tx, res in configs:
+            dt, _ = run_stream(engines[tx], res)
+            results[(tx, res)].append(round(dt * 1e3, 1))
+    for (tx, res), ms in results.items():
+        med = sorted(ms)[len(ms) // 2]
+        print(json.dumps({
+            "config": (f"stream {total_seconds}s/{chunk_seconds}s-chunks "
+                       f"st={stage} {compute_dtype} tx={tx} "
+                       f"resident={res}"),
+            "stream_ms_trials": ms, "stream_ms_median": med,
+            "per_pass_ms": round(med / n_passes, 1)}), flush=True)
+
+
 def bench_attention(t, impl, block=128, b=16, h=16, d=64, rate=0.0):
     from privacy_preserve_federated_asr_tpu.ops.attention import multihead_attention
 
@@ -325,6 +382,11 @@ def main():
         bench_transport_ab(
             batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
             compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16")
+    elif mode == "stream":
+        bench_stream_ab(
+            total_seconds=float(sys.argv[2]) if len(sys.argv) > 2 else 10.0,
+            chunk_seconds=float(sys.argv[3]) if len(sys.argv) > 3 else 0.5,
+            compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16")
     elif mode == "posconv":
         bench_posconv()
     elif mode == "int8mm":

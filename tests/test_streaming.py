@@ -306,3 +306,74 @@ def test_measure_finalization_flips_calibration():
     # rates are rates
     for r in rows:
         assert 0.0 <= r["flip_rate"] <= 1.0
+
+
+def test_streaming_resident_matches_legacy_every_pass():
+    """The device-resident window (default) must produce the same frame ids
+    as the legacy re-upload-everything path on EVERY incremental pass —
+    the only difference is where the audio lives and where normalization
+    runs (masked on-device twin of normalize_input_values, ~1-ulp fp32
+    reduction-order delta that the frame argmax never sees at these
+    shapes)."""
+    eng = _engine()
+    audio = _wave(4 * 3200, seed=10)
+    cfgs = dict(right_context_seconds=0.1, min_hop_seconds=0.0)
+    res = StreamingSession(eng, StreamingConfig(resident=True, **cfgs))
+    leg = StreamingSession(eng, StreamingConfig(resident=False, **cfgs))
+    for i in range(4):
+        chunk = audio[i * 3200 : (i + 1) * 3200]
+        rr, rl = res.feed(chunk), leg.feed(chunk)
+        assert res._final_ids == leg._final_ids
+        assert res._tail_ids == leg._tail_ids
+        assert rr.transcript == rl.transcript
+    rr, rl = res.finish(), leg.finish()
+    assert rr.transcript == rl.transcript
+    assert rr.final_transcript == rl.final_transcript
+    assert rr.ad_pred == rl.ad_pred
+    assert abs(rr.ad_prob - rl.ad_prob) < 1e-5
+
+
+def test_streaming_resident_int16_chunks_match_batch():
+    """Resident sessions under --transport int16 upload each chunk as
+    abs-max-scaled int16 (per-piece scales); the finished transcript must
+    equal the batch int16 path's."""
+    eng = _engine(transport="int16")
+    audio = _wave(3 * 3200, seed=11)
+    batch = eng.infer_batch([audio])[0]
+    sess = StreamingSession(eng, StreamingConfig(
+        right_context_seconds=10.0, min_hop_seconds=0.0, resident=True))
+    for i in range(3):
+        sess.feed(audio[i * 3200 : (i + 1) * 3200])
+    final = sess.finish()
+    assert final.transcript == batch.transcript
+    assert final.total_frames == batch.frames
+
+
+def test_streaming_resident_large_feed_splits_chunks():
+    """A single feed larger than STREAM_CHUNK_MAX is split host-side so no
+    bucketed append can clamp against the buffer end; the result must match
+    the batch decode of the same audio."""
+    cfg = DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+            final_dropout=0.0),
+        stage=0, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    scfg = ServingConfig(batch_size=2, time_multiple=40000, max_seconds=6.0,
+                         compute_dtype="float32")
+    eng = InferenceEngine(cfg, params, TOK, scfg)
+    assert eng.STREAM_CHUNK_MAX < 5 * 16000  # the feed really splits
+    audio = _wave(5 * 16000, seed=12)
+    batch = eng.infer_batch([audio])[0]
+    sess = StreamingSession(eng, StreamingConfig(
+        right_context_seconds=100.0, min_hop_seconds=0.0, resident=True))
+    sess.feed(audio)
+    final = sess.finish()
+    assert final.transcript == batch.transcript
+    assert final.total_frames == batch.frames
+
+
+def test_streaming_warmup_compiles_resident_programs():
+    eng = _engine()
+    n = eng.warmup_streaming(chunk_samples=3200)
+    assert n == len(eng._buckets())

@@ -409,3 +409,182 @@ def test_from_hf_config_maps_large_v2_and_tiny():
     assert (c.d_model, c.num_heads, c.encoder_layers) == (384, 6, 4)
     assert (c.sot_token, c.language_token, c.task_token,
             c.no_timestamps_token) == (50258, 50259, 50359, 50363)
+
+
+# ---------------------------------------------------------------------------
+# timestamp decoding + seek (upstream whisper.transcribe's default
+# without_timestamps=False long-form semantics)
+
+def _ts_cfg(cfg):
+    """Tiny config with a timestamp-token range: ids [48, 64) are
+    <|0.00|>.. — text tokens stay below 48."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, timestamp_begin_token=48)
+
+
+def _check_ts_grammar(cfg, row, cap=None):
+    """Assert one decoded row obeys ApplyTimestampRules: starts with a
+    timestamp (<= cap), timestamps pair up (text only after a completed
+    pair; after a lone timestamp only a timestamp/EOT), monotone
+    non-decreasing across segments."""
+    tb = cfg.timestamp_begin
+    toks = []
+    for t in row:
+        t = int(t)
+        if t == cfg.eot_token:
+            break
+        toks.append(t)
+    assert toks, "no tokens sampled"
+    assert toks[0] >= tb, "first sampled token must be a timestamp"
+    if cap is not None:
+        assert toks[0] <= cap, "max_initial_timestamp violated"
+    prev_ts = prevprev_ts = False
+    last_ts = tb - 1
+    for t in toks:
+        is_ts = t >= tb
+        if prev_ts and prevprev_ts:
+            assert not is_ts, "timestamp directly after a completed pair"
+        if prev_ts and not prevprev_ts:
+            assert is_ts, "text token inside an open timestamp pair"
+        if is_ts:
+            floor = last_ts if (prev_ts and not prevprev_ts) else last_ts + 1
+            assert t >= floor, "timestamps must be monotone"
+            last_ts = t
+        prevprev_ts, prev_ts = prev_ts, is_ts
+
+
+def test_decode_timestamps_obeys_rules(tiny_pair):
+    """Greedy + sampled decodes with timestamps=True must satisfy whisper's
+    timestamp grammar on every batch row."""
+    import jax
+
+    _, cfg, params = tiny_pair
+    cfg = _ts_cfg(cfg)
+    rng = np.random.default_rng(21)
+    audio = rng.normal(0, 0.5, size=(3, chunk_samples(cfg))).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(audio), cfg.num_mel_bins)
+    cap = cfg.timestamp_begin + int(round(
+        0.1 * 16000 / cfg.timestamp_stride_samples))
+    for temp in (0.0, 0.8):
+        ids, lps = decode_with_stats(
+            cfg, params, mel, temperature=temp,
+            rng=jax.random.PRNGKey(3), timestamps=True,
+            max_initial_timestamp=0.1)
+        ids = np.asarray(ids)
+        assert np.all(np.isfinite(np.asarray(lps)))
+        for row in ids:
+            _check_ts_grammar(cfg, row, cap=cap)
+
+
+def test_timestamp_seek_helper(tiny_pair):
+    """timestamp_seek reproduces upstream's seek rule: advance to the last
+    consecutive-pair boundary (consuming only the text before it); no pair
+    or a zero boundary advances the whole window."""
+    from privacy_preserve_federated_asr_tpu.models.whisper import timestamp_seek
+
+    _, cfg, params = tiny_pair
+    cfg = _ts_cfg(cfg)
+    tb, stride = cfg.timestamp_begin, cfg.timestamp_stride_samples
+    window = cfg.max_source_positions * stride
+    assert window == chunk_samples(cfg)
+
+    # one unterminated segment: full-window advance, all text kept
+    adv, text = timestamp_seek(cfg, [tb, 10, 11, cfg.eot_token])
+    assert adv == window and text == [10, 11]
+
+    # <|0|> A B <|5|> <|5|> C <|9|> : boundary at the consecutive pair;
+    # text past it belongs to the next window
+    row = [tb, 10, 11, tb + 5, tb + 5, 12, tb + 9, cfg.eot_token]
+    adv, text = timestamp_seek(cfg, row)
+    assert adv == 5 * stride
+    assert text == [10, 11]
+
+    # degenerate zero boundary: guarded to a full-window advance
+    adv, text = timestamp_seek(cfg, [tb, tb, 13, cfg.eot_token])
+    assert adv == window and text == [13]
+
+    # eot-padding beyond the first EOT is ignored
+    adv2, text2 = timestamp_seek(cfg, row + [cfg.eot_token] * 4)
+    assert (adv2, text2) == (5 * stride, [10, 11])
+
+
+def test_teacher_seek_loop(tiny_pair):
+    """The seek-driven long-form loop: a clip whose first window predicts a
+    mid-window segment boundary re-decodes from that boundary instead of a
+    fixed hop; transcripts stitch only the consumed text."""
+    from privacy_preserve_federated_asr_tpu.data.teacher import WhisperTeacher
+
+    _, cfg, params = tiny_pair
+    cfg = _ts_cfg(cfg)
+    tb = cfg.timestamp_begin
+    teacher = WhisperTeacher(
+        cfg, params, detokenize=lambda ids: "-".join(map(str, ids)),
+        compression_ratio_threshold=None, logprob_threshold=None,
+        condition_on_previous_text=False, timestamps=True)
+    chunk = teacher.chunk
+    audio = np.zeros(int(1.5 * chunk), np.float32)
+
+    starts = []
+
+    def fake_decode(stack, idx, temperature, seed,
+                    prompts=None, prompt_lens=None):
+        starts.append(stack.shape)
+        n = len(np.asarray(idx))
+        if len(starts) == 1:
+            # window 0: segment [0, 10] with text 7 8, then an unfinished
+            # segment (text 9) past the boundary -> seek to frame 10
+            row = [tb, 7, 8, tb + 10, tb + 10, 9, cfg.eot_token]
+        else:
+            row = [tb, 6, tb + 4, cfg.eot_token]
+        ids = np.full((n, 12), cfg.eot_token, np.int64)
+        ids[:, : len(row)] = row
+        texts = [teacher._ids_to_text(r) for r in ids]
+        return texts, np.zeros((n,), np.float32), ids
+
+    teacher._decode_windows = fake_decode
+    [out] = teacher.transcribe_batch([audio])
+    stride = cfg.timestamp_stride_samples
+    # window 0 advanced by its predicted 10-frame boundary (not a fixed
+    # chunk hop), so 1.5 windows of audio took THREE decodes: seek goes
+    # 0 -> 10*stride -> 10*stride + chunk -> past the end
+    assert len(starts) == 3
+    assert 10 * stride + 2 * chunk > len(audio) > 10 * stride + chunk
+    # consumed text: window-0's first segment only, then the later windows'
+    assert out == "7-8 6 6"
+
+
+def test_teacher_seek_conditioning_prompt_is_text_only(tiny_pair):
+    """With conditioning on, the next window's prompt context must be the
+    consumed TEXT tokens (timestamps/specials stripped), as upstream."""
+    from privacy_preserve_federated_asr_tpu.data.teacher import WhisperTeacher
+
+    _, cfg, params = tiny_pair
+    cfg = _ts_cfg(cfg)
+    tb = cfg.timestamp_begin
+    teacher = WhisperTeacher(
+        cfg, params, detokenize=lambda ids: "-".join(map(str, ids)),
+        compression_ratio_threshold=None, logprob_threshold=None,
+        condition_on_previous_text=True, timestamps=True)
+    chunk = teacher.chunk
+    audio = np.zeros(int(1.5 * chunk), np.float32)
+    seen_prompts = []
+
+    def fake_decode(stack, idx, temperature, seed,
+                    prompts=None, prompt_lens=None):
+        seen_prompts.append(
+            None if prompts is None
+            else [int(t) for t in prompts[0][-int(prompt_lens[0]):]]
+            if int(prompt_lens[0]) else [])
+        n = len(np.asarray(idx))
+        row = [tb, 7, 8, tb + 10, tb + 10, 9, cfg.eot_token] \
+            if len(seen_prompts) == 1 else [tb, 6, tb + 4, cfg.eot_token]
+        ids = np.full((n, 12), cfg.eot_token, np.int64)
+        ids[:, : len(row)] = row
+        texts = [teacher._ids_to_text(r) for r in ids]
+        return texts, np.zeros((n,), np.float32), ids
+
+    teacher._decode_windows = fake_decode
+    teacher.transcribe_batch([audio])
+    assert seen_prompts[0] is None          # window 0: unconditioned
+    assert seen_prompts[1] == [cfg.prev_token, 7, 8]  # consumed text only
