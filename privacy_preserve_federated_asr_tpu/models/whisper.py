@@ -485,12 +485,20 @@ def decode_with_stats(
     NEG = jnp.float32(-1e30)
 
     def ts_filter(lg, st, first_step: bool):
-        """Upstream whisper ApplyTimestampRules, vectorized per row.
-        ``st`` = (prev_was_ts, prevprev_was_ts, last_ts_id)."""
+        """Upstream whisper ApplyTimestampRules (the exact rule set HF's
+        ``WhisperTimeStampLogitsProcessor`` ports — oracle-parity-tested
+        token-by-token in tests/test_whisper.py), vectorized per row.
+        ``st`` = (prev_was_ts, prevprev_was_ts, last_ts_id), where
+        prevprev counts as a timestamp while fewer than two tokens were
+        sampled (upstream ``len(seq) < 2 or seq[-2] >= tb``) — so a
+        segment-START timestamp must be followed by text, and only a
+        segment-END timestamp (one that follows text) opens the
+        ts-or-EOT continuation."""
         prev_ts, prevprev_ts, last_ts = st
         lg = lg.astype(jnp.float32)
+        lg = jnp.where(ids_row[None, :] == c.no_timestamps_token, NEG, lg)
         after_pair = prev_ts & prevprev_ts   # pair closed: text must follow
-        mid_pair = prev_ts & ~prevprev_ts    # lone ts: only ts or EOT next
+        mid_pair = prev_ts & ~prevprev_ts    # segment end: only ts/EOT next
         lg = jnp.where(after_pair[:, None] & is_ts_tok[None, :], NEG, lg)
         ok_mid = is_ts_tok | (ids_row == c.eot_token)
         lg = jnp.where(mid_pair[:, None] & ~ok_mid[None, :], NEG, lg)
@@ -538,7 +546,11 @@ def decode_with_stats(
         is_ts = (nxt >= tb) & ~done
         return (is_ts, prev_ts, jnp.where(is_ts, nxt, last_ts))
 
-    st1 = next_state(st0, first, done0)
+    # after ONE sampled token the penultimate flag reads True (upstream's
+    # len(seq) < 2 convention): the opening timestamp must be followed by
+    # text, not by another timestamp
+    st1 = (first >= tb, jnp.ones((b,), bool),
+           jnp.where(first >= tb, first, tb - 1).astype(jnp.int32))
 
     def step(carry, i):
         cache, tok, done, sum_lp, n_emit, st = carry

@@ -2,6 +2,7 @@ from .engine import InferenceEngine, InferenceResult, ServingConfig
 from .server import make_server, serve_forever
 from .streaming import (
     StreamingConfig,
+    StreamingHub,
     StreamingResult,
     StreamingSession,
     measure_finalization_flips,
@@ -13,6 +14,7 @@ __all__ = [
     "InferenceResult",
     "ServingConfig",
     "StreamingConfig",
+    "StreamingHub",
     "StreamingResult",
     "StreamingSession",
     "make_server",

@@ -169,18 +169,35 @@ class InferenceEngine:
         self._append_f32 = jax.jit(append_f32)
         self._append_i16 = jax.jit(append_i16)
 
-        def forward_res(p, buf, n, t):
-            x = jax.lax.slice(buf, (0,), (t,))[None, :]
-            il = jnp.reshape(n, (1,)).astype(jnp.int32)
+        # batched variants for StreamingHub: R concurrent sessions' chunk
+        # uploads land in ONE program (vmapped dynamic_update_slice with
+        # per-row offsets) and their passes share one batched forward —
+        # 2 RPCs per hop for the whole fleet instead of 2 per session
+        self._append_f32_b = jax.jit(jax.vmap(append_f32))
+        self._append_i16_b = jax.jit(jax.vmap(append_i16))
+
+        def _mask_normalize(x, il, t):
             mask = (jnp.arange(t)[None, :] < il[:, None]).astype(jnp.float32)
             if self.scfg.normalize:
                 cnt = jnp.maximum(il.astype(jnp.float32), 1.0)
                 mean = (x * mask).sum(-1) / cnt
                 var = (jnp.square(x - mean[:, None]) * mask).sum(-1) / cnt
                 x = (x - mean[:, None]) / jnp.sqrt(var + 1e-7)[:, None]
-            return forward(p, x * mask, il)
+            return x * mask
+
+        def forward_res(p, buf, n, t):
+            x = jax.lax.slice(buf, (0,), (t,))[None, :]
+            il = jnp.reshape(n, (1,)).astype(jnp.int32)
+            return forward(p, _mask_normalize(x, il, t), il)
 
         self._forward_res = jax.jit(forward_res, static_argnums=(3,))
+
+        def forward_res_b(p, bufs, ils, t):
+            x = jax.lax.slice(bufs, (0, 0), (bufs.shape[0], t))
+            ils = ils.astype(jnp.int32)
+            return forward(p, _mask_normalize(x, ils, t), ils)
+
+        self._forward_res_b = jax.jit(forward_res_b, static_argnums=(3,))
         self._queue: queue.Queue = queue.Queue()
         self._worker: threading.Thread | None = None
         self._stop = threading.Event()
@@ -229,6 +246,38 @@ class InferenceEngine:
                 pad[: len(piece)] = piece
                 buf = self._append_f32(buf, pad, np.int32(offset + i))
         return buf
+
+    def alloc_stream_buffers(self, rows: int) -> jax.Array:
+        """Stacked zeroed device windows for a :class:`StreamingHub`."""
+        return jnp.zeros(
+            (rows, self.max_samples + self.STREAM_CHUNK_MAX), jnp.float32)
+
+    def reset_stream_row(self, bufs: jax.Array, row: int) -> jax.Array:
+        """Zero one hub row so it can be reused (the append path relies on
+        unwritten buffer regions being zero)."""
+        if not hasattr(self, "_reset_row"):
+            self._reset_row = jax.jit(
+                lambda b, r: b.at[r].set(0.0))
+        return self._reset_row(bufs, np.int32(row))
+
+    def append_stream_batch(self, bufs: jax.Array, chunks: np.ndarray,
+                            offsets: np.ndarray) -> jax.Array:
+        """One batched frontier write for a hub: ``chunks[r]`` lands in
+        ``bufs[r]`` at ``offsets[r]`` (vmapped dynamic_update_slice — every
+        row ships, so give idle rows zero chunks at their frontier, which
+        the zero-invariant makes a no-op). ``chunks`` columns must be
+        <= STREAM_CHUNK_MAX (split larger uploads host-side); int16
+        transport quantizes per row."""
+        assert chunks.shape[1] <= self.STREAM_CHUNK_MAX
+        offsets = np.asarray(offsets, np.int32)
+        if self.scfg.transport == "int16":
+            amax = np.max(np.abs(chunks), axis=1)
+            sc = np.where(amax > 0.0, amax / 32767.0, 0.0).astype(np.float32)
+            safe = np.where(sc > 0.0, sc, 1.0)
+            q = np.clip(np.rint(chunks / safe[:, None]),
+                        -32767, 32767).astype(np.int16)
+            return self._append_i16_b(bufs, q, sc, offsets)
+        return self._append_f32_b(bufs, chunks.astype(np.float32), offsets)
 
     def warmup_streaming(self, buckets: Sequence[int] | None = None,
                          chunk_samples: int = 8000) -> int:

@@ -15,7 +15,11 @@ serving layer at all). Endpoints:
   - ``POST /stream/<id>/finish`` -> final result; session is deleted
 
 Requests ride the engine's micro-batching dispatcher, so concurrent
-clients share device batches.
+clients share device batches. Streaming sessions join a shared
+:class:`StreamingHub` while it has rows (up to ``engine.scfg.batch_size``
+concurrent streams advance from ONE batched pass per hop); extra sessions
+fall back to standalone :class:`StreamingSession`s. Hub members serialize
+on one hub lock (a hub step advances every member).
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from .engine import InferenceEngine
-from .streaming import StreamingConfig, StreamingSession
+from .streaming import StreamingConfig, StreamingHub, StreamingSession
 
 
 def _resample_to_16k(data: np.ndarray, sr: int) -> np.ndarray:
@@ -71,11 +75,14 @@ class _SessionEntry:
     not pin the session table at ``_MAX_SESSIONS`` forever.
     """
 
-    def __init__(self, sess: StreamingSession):
+    def __init__(self, sess: StreamingSession,
+                 lock: threading.Lock | None = None):
         import time
 
         self.sess = sess
-        self.lock = threading.Lock()
+        # hub members share the hub's lock (a hub step advances every
+        # member); standalone sessions get their own
+        self.lock = lock if lock is not None else threading.Lock()
         self.last_used = time.monotonic()
 
     def touch(self) -> None:
@@ -88,6 +95,7 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                 port: int = 8008,
                 stream_cfg: StreamingConfig | None = None,
                 session_idle_ttl_s: float = _SESSION_IDLE_TTL_S,
+                use_hub: bool = True,
                 ) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server bound to ``host:port``."""
     import time
@@ -95,6 +103,9 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
     counter = {"requests": 0}
     lock = threading.Lock()
     sessions: dict[str, _SessionEntry] = {}
+    scfg = stream_cfg if stream_cfg is not None else StreamingConfig()
+    hub = StreamingHub(engine, scfg) if (use_hub and scfg.resident) else None
+    hub_lock = threading.Lock()
 
     def _reap_idle_locked() -> None:
         cutoff = time.monotonic() - session_idle_ttl_s
@@ -102,7 +113,14 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
         # it out from under the request (its audio would be unrecoverable)
         for sid in [s for s, e in sessions.items()
                     if e.last_used < cutoff and not e.lock.locked()]:
-            del sessions[sid]
+            e = sessions[sid]
+            if not e.lock.acquire(blocking=False):
+                continue  # a request won the race; retry next reap
+            try:
+                del sessions[sid]
+                e.sess.close()  # hub members free (and zero) their row
+            finally:
+                e.lock.release()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -142,8 +160,18 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
                         self._reply(429, {"error": "too many sessions"})
                         return
                     sid = uuid.uuid4().hex[:16]
-                    sessions[sid] = _SessionEntry(
-                        StreamingSession(engine, stream_cfg))
+                    sess = None
+                    if hub is not None:
+                        with hub_lock:  # lock order: table -> hub, always
+                            try:
+                                sess = hub.open()
+                            except RuntimeError:  # hub full: standalone
+                                sess = None
+                    if sess is not None:
+                        sessions[sid] = _SessionEntry(sess, lock=hub_lock)
+                    else:
+                        sessions[sid] = _SessionEntry(
+                            StreamingSession(engine, scfg))
                 self._reply(200, {"session": sid})
                 return
             with lock:

@@ -173,11 +173,20 @@ class StreamingSession:
         eng = self.engine
         audio = self._audio[: eng.max_samples]
         n = len(audio)
-        cfg = eng.cfg
         got = self._device_pass(audio, n)
+        return self._consume(n, got, 0, finalize_all)
+
+    def _consume(self, n: int, got, row: int,
+                 finalize_all: bool) -> StreamingResult:
+        """Fold one device pass's outputs (this session's ``row``) into the
+        finalize/decode state — shared by standalone sessions (row 0 of
+        their own pass) and :class:`StreamingHub` members (one row of a
+        batched pass)."""
+        eng = self.engine
+        cfg = eng.cfg
         pred, ad_pred, ad_prob, flen = got[:4]
-        total = int(flen[0])
-        ids = [int(i) for i in pred[0, :total]]
+        total = int(flen[row])
+        ids = [int(i) for i in pred[row, :total]]
 
         if finalize_all:
             final_until = total
@@ -197,15 +206,15 @@ class StreamingSession:
         tok = eng.tokenizer
         if self._beam_state is not None:
             transcript, final_transcript = self._beam_texts(
-                got[4][0], n_prev_final, final_until, total)
+                got[4][row], n_prev_final, final_until, total)
         else:
             transcript = tok.decode(self._final_ids + self._tail_ids)
             final_transcript = tok.decode(self._final_ids)
         res = StreamingResult(
             transcript=transcript,
             final_transcript=final_transcript,
-            ad_prob=float(ad_prob[0]),
-            ad_pred=int(ad_pred[0]),
+            ad_prob=float(ad_prob[row]),
+            ad_pred=int(ad_pred[row]),
             final_frames=len(self._final_ids),
             total_frames=total,
             is_final=finalize_all,
@@ -276,6 +285,12 @@ class StreamingSession:
         # last full-context pass
         return self._run_pass(finalize_all=True)
 
+    def close(self) -> None:
+        """Abandon the session without a finalize pass (idempotent) — the
+        HTTP server's idle reaper uses this; hub members also free their
+        row."""
+        self._finished = True
+
     def result(self) -> InferenceResult:
         """The finished session as the batch path's result type."""
         r = self.finish()
@@ -283,6 +298,144 @@ class StreamingSession:
             transcript=r.transcript, ad_pred=r.ad_pred, ad_prob=r.ad_prob,
             frames=r.total_frames,
             samples=min(len(self._audio), self.engine.max_samples))
+
+
+class HubStreamingSession(StreamingSession):
+    """A :class:`StreamingHub` member: same public API as
+    :class:`StreamingSession`, but device passes are shared — ``feed``/
+    ``finish`` trigger the hub's batched step, which advances EVERY active
+    member from one batched append + one batched forward."""
+
+    def __init__(self, hub: "StreamingHub", row: int):
+        super().__init__(hub.engine, hub.scfg)
+        self._hub = hub
+        self._row = row
+        self._buf = None  # rows live in the hub's stacked buffer
+
+    def feed(self, chunk: np.ndarray) -> StreamingResult:
+        if self._finished:
+            raise RuntimeError("session already finished")
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        room = self.engine.max_samples - len(self._audio)
+        if room > 0:
+            self._audio = np.concatenate([self._audio, chunk[:room]])
+        hop = int(self.scfg.min_hop_seconds * 16000)
+        n = min(len(self._audio), self.engine.max_samples)
+        if self._last is not None and n - self._last_pass_samples < hop:
+            return self._last
+        self._hub._step()
+        if self._last is None:  # nothing fed yet (empty chunk)
+            self._last = StreamingResult("", "", 0.0, 0, 0, 0, False)
+        return self._last
+
+    def finish(self) -> StreamingResult:
+        if self._finished:
+            assert self._last is not None
+            return self._last
+        self._finished = True
+        if len(self._audio) == 0:
+            self._last = StreamingResult("", "", 0.0, 0, 0, 0, True)
+        else:
+            self._hub._step(finalize=frozenset((self._row,)))
+        self._hub._release(self._row)
+        assert self._last is not None
+        return self._last
+
+    def close(self) -> None:
+        if not self._finished:
+            self._finished = True
+            self._hub._release(self._row)
+
+
+class StreamingHub:
+    """Batch many concurrent streaming sessions into shared device passes.
+
+    A standalone :class:`StreamingSession` costs 2 device round-trips per
+    hop (chunk append + forward). With N concurrent streams that is 2N
+    dispatches of batch-1 programs — on TPU the throughput lives in batched
+    matmuls, and on a remote/PCIe link every dispatch pays the transport
+    floor. The hub keeps up to ``engine.scfg.batch_size`` sessions' windows
+    in ONE stacked device buffer; each step uploads every member's pending
+    audio in one vmapped frontier write and runs one batched forward whose
+    per-row lengths mask the inactive tail — 2 RPCs per hop for the whole
+    fleet. Each member then folds its row of the batched outputs through
+    the exact same ``_consume`` path a standalone session uses, so
+    finalization, beam carry, and transcripts are identical (tested
+    against standalone sessions in tests/test_streaming.py).
+
+    Not thread-safe (like sessions); drive it from one dispatcher. Rows
+    free on ``finish()`` and are zeroed before reuse."""
+
+    def __init__(self, engine: InferenceEngine,
+                 scfg: StreamingConfig | None = None):
+        self.engine = engine
+        self.scfg = scfg or StreamingConfig()
+        self.rows = engine.scfg.batch_size
+        self._bufs = None
+        self._sessions: list[HubStreamingSession | None] = [None] * self.rows
+
+    def open(self) -> HubStreamingSession:
+        for r, s in enumerate(self._sessions):
+            if s is None:
+                sess = HubStreamingSession(self, r)
+                self._sessions[r] = sess
+                return sess
+        raise RuntimeError(
+            f"hub full: {self.rows} concurrent sessions "
+            "(engine.scfg.batch_size)")
+
+    def active_sessions(self) -> int:
+        return sum(s is not None for s in self._sessions)
+
+    def _release(self, row: int) -> None:
+        if self._sessions[row] is None:
+            return
+        self._sessions[row] = None
+        if self._bufs is not None:
+            self._bufs = self.engine.reset_stream_row(self._bufs, row)
+
+    def _step(self, finalize: frozenset = frozenset()) -> None:
+        eng = self.engine
+        active = [(r, s) for r, s in enumerate(self._sessions)
+                  if s is not None and len(s._audio) > 0]
+        if not active:
+            return
+        if self._bufs is None:
+            self._bufs = eng.alloc_stream_buffers(self.rows)
+        # ---- one batched frontier write for every pending upload ----
+        ns = {r: min(len(s._audio), eng.max_samples) for r, s in active}
+        pend = {r: ns[r] - s._uploaded for r, s in active
+                if ns[r] > s._uploaded}
+        if pend:
+            q = eng.STREAM_CHUNK_QUANTUM
+            width = -(-max(pend.values()) // q) * q
+            for lo in range(0, width, eng.STREAM_CHUNK_MAX):
+                c = min(eng.STREAM_CHUNK_MAX, width - lo)
+                chunks = np.zeros((self.rows, c), np.float32)
+                offsets = np.zeros((self.rows,), np.int32)
+                for r, s in active:
+                    # rows with nothing (left) to upload write zeros at
+                    # their (new) frontier — a no-op under the
+                    # zero-beyond-frontier invariant
+                    offsets[r] = s._uploaded + min(pend.get(r, 0), lo)
+                    take = pend.get(r, 0) - lo
+                    if take > 0:
+                        piece = s._audio[s._uploaded + lo:
+                                         s._uploaded + lo + min(take, c)]
+                        chunks[r, : len(piece)] = piece
+                self._bufs = eng.append_stream_batch(self._bufs, chunks,
+                                                     offsets)
+            for r, s in active:
+                s._uploaded = ns[r]
+        # ---- one batched forward over the shared buffer ----
+        t = eng._bucket(max(ns.values()))
+        ils = np.zeros((self.rows,), np.int32)
+        for r, _ in active:
+            ils[r] = min(ns[r], t)
+        got = jax.device_get(
+            eng._forward_res_b(eng.params, self._bufs, ils, t))
+        for r, s in active:
+            s._consume(min(ns[r], t), got, r, finalize_all=(r in finalize))
 
 
 def measure_finalization_flips(

@@ -287,8 +287,12 @@ def bench_stream_ab(total_seconds=10.0, chunk_seconds=0.5, stage=2,
         0, 0.3, size=int(total_seconds * 16000)).astype(np.float32)
     engines = {}
     for tx in ("float32", "int16"):
+        # batch_size=1 (per-session latency — the legacy path uploads the
+        # whole (batch, t) window per pass, so a fair A/B gives it one
+        # row); 3 s time buckets bound the program count on the remote
+        # compile service (2 buckets x 2 paths x 2 transports)
         eng = InferenceEngine(cfg, params, None, ServingConfig(
-            batch_size=8, max_seconds=total_seconds,
+            batch_size=1, time_multiple=48000, max_seconds=total_seconds,
             compute_dtype=compute_dtype, transport=tx))
         eng.warmup()
         eng.warmup_streaming(chunk_samples=chunk)

@@ -377,3 +377,138 @@ def test_streaming_warmup_compiles_resident_programs():
     eng = _engine()
     n = eng.warmup_streaming(chunk_samples=3200)
     assert n == len(eng._buckets())
+
+
+def test_hub_sessions_match_standalone():
+    """Hub members (one batched pass for the whole fleet) must produce the
+    SAME finalized/tail ids and transcripts as standalone resident sessions
+    fed identically — the hub is a dispatch optimization, not a semantics
+    change."""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()
+    scfg = StreamingConfig(right_context_seconds=0.1, min_hop_seconds=0.0)
+    hub = StreamingHub(eng, scfg)
+    audios = [_wave(4 * 3200, seed=20), _wave(3 * 3200, seed=21)]
+    hub_sessions = [hub.open() for _ in audios]
+    solo_sessions = [StreamingSession(eng, scfg) for _ in audios]
+
+    # interleave feeds with different chunk counts per session
+    for i in range(4):
+        for k, audio in enumerate(audios):
+            chunk = audio[i * 3200 : (i + 1) * 3200]
+            if len(chunk):
+                hub_sessions[k].feed(chunk)
+                solo_sessions[k].feed(chunk)
+    for k in range(len(audios)):
+        rh = hub_sessions[k].finish()
+        rs = solo_sessions[k].finish()
+        assert rh.transcript == rs.transcript
+        assert rh.final_transcript == rs.final_transcript
+        assert rh.total_frames == rs.total_frames
+        assert rh.ad_pred == rs.ad_pred
+        assert abs(rh.ad_prob - rs.ad_prob) < 1e-5
+
+
+def test_hub_row_reuse_and_capacity():
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()  # batch_size=2 -> 2 rows
+    hub = StreamingHub(eng)
+    a = hub.open()
+    b = hub.open()
+    with pytest.raises(RuntimeError, match="hub full"):
+        hub.open()
+    a.feed(_wave(3200, seed=22))
+    a.finish()  # frees the row (and zeroes it)
+    c = hub.open()  # reuses a's row
+    audio = _wave(2 * 3200, seed=23)
+    c.feed(audio)
+    got = c.finish()
+    ref = eng.infer_batch([audio])[0]
+    # the zeroed row must not leak a's audio into c's decode
+    assert got.transcript == ref.transcript
+    assert got.total_frames == ref.frames
+    b.feed(_wave(3200, seed=24))
+    b.finish()
+    assert hub.active_sessions() == 0
+
+
+def test_hub_beam_sessions_match_batch_beam():
+    """Hub + beam: with no early finalization each member's finish equals
+    the batch beam decode of its own audio. Equal-length members, so every
+    hub pass (including the finishes, after which rows free one by one)
+    runs at the SAME time bucket as the reference batch — valid-frame
+    outputs are bucket-invariant only up to float ulps, and beam search
+    amplifies near-ties on random weights."""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine(beam_size=4)
+    hub = StreamingHub(eng, StreamingConfig(right_context_seconds=10.0,
+                                            min_hop_seconds=0.0))
+    audios = [_wave(3 * 3200, seed=25), _wave(3 * 3200, seed=26)]
+    sessions = [hub.open() for _ in audios]
+    for i in range(3):
+        for k, audio in enumerate(audios):
+            sessions[k].feed(audio[i * 3200 : (i + 1) * 3200])
+    refs = eng.infer_batch(audios)
+    for k, s in enumerate(sessions):
+        assert s.finish().transcript == refs[k].transcript
+
+
+def test_hub_int16_transport_matches_standalone():
+    """Hub int16 must equal a standalone resident int16 session fed the
+    same chunks: identical piece boundaries -> identical per-piece
+    quantization -> identical buffer bits. (The BATCH path quantizes each
+    row with ONE whole-utterance scale, so exact equality against it is
+    not guaranteed — only the ~3e-5 rounding class.)"""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine(transport="int16")
+    scfg = StreamingConfig(right_context_seconds=10.0, min_hop_seconds=0.0)
+    hub = StreamingHub(eng, scfg)
+    audio = _wave(3 * 3200, seed=27)
+    s = hub.open()
+    solo = StreamingSession(eng, scfg)
+    for i in range(3):
+        chunk = audio[i * 3200 : (i + 1) * 3200]
+        s.feed(chunk)
+        solo.feed(chunk)
+    got, ref = s.finish(), solo.finish()
+    assert got.transcript == ref.transcript
+    assert got.total_frames == ref.total_frames
+
+
+def test_http_streaming_hub_with_fallback():
+    """The server packs streaming sessions into the shared hub while rows
+    last (engine batch_size) and falls back to standalone sessions beyond
+    that — all concurrently correct."""
+    eng = _engine()  # batch_size=2 -> 2 hub rows
+    srv = make_server(eng, port=0)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        def post(path, payload=None):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload or {}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                return json.loads(resp.read())
+
+        audios = [_wave(2 * 3200, seed=30 + k) for k in range(3)]
+        sids = [post("/stream/start")["session"] for _ in range(3)]
+        for i in range(2):
+            for k, sid in enumerate(sids):
+                chunk = audios[k][i * 3200 : (i + 1) * 3200]
+                r = post(f"/stream/{sid}", {"audio": chunk.tolist()})
+                assert not r["is_final"]
+        refs = eng.infer_batch(audios)
+        for k, sid in enumerate(sids):
+            r = post(f"/stream/{sid}/finish")
+            assert r["is_final"]
+            assert r["transcript"] == refs[k].transcript
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -424,10 +424,11 @@ def _ts_cfg(cfg):
 
 
 def _check_ts_grammar(cfg, row, cap=None):
-    """Assert one decoded row obeys ApplyTimestampRules: starts with a
-    timestamp (<= cap), timestamps pair up (text only after a completed
-    pair; after a lone timestamp only a timestamp/EOT), monotone
-    non-decreasing across segments."""
+    """Assert one decoded row obeys upstream ApplyTimestampRules: starts
+    with a timestamp (<= cap); a segment-START timestamp (penultimate
+    counts as timestamp while < 2 tokens sampled) is followed by text; a
+    segment-END timestamp (one that follows text) is followed only by a
+    timestamp/EOT; timestamps are monotone."""
     tb = cfg.timestamp_begin
     toks = []
     for t in row:
@@ -439,19 +440,22 @@ def _check_ts_grammar(cfg, row, cap=None):
     assert toks[0] >= tb, "first sampled token must be a timestamp"
     if cap is not None:
         assert toks[0] <= cap, "max_initial_timestamp violated"
-    prev_ts = prevprev_ts = False
-    last_ts = tb - 1
-    for t in toks:
+    for k in range(1, len(toks)):
+        t = toks[k]
         is_ts = t >= tb
-        if prev_ts and prevprev_ts:
-            assert not is_ts, "timestamp directly after a completed pair"
-        if prev_ts and not prevprev_ts:
-            assert is_ts, "text token inside an open timestamp pair"
+        last_was = toks[k - 1] >= tb
+        penult_was = k < 2 or toks[k - 2] >= tb
+        if last_was and penult_was:
+            assert not is_ts, "timestamp where text is required"
+        if last_was and not penult_was:
+            assert is_ts, "text token after a segment-end timestamp"
         if is_ts:
-            floor = last_ts if (prev_ts and not prevprev_ts) else last_ts + 1
-            assert t >= floor, "timestamps must be monotone"
-            last_ts = t
-        prevprev_ts, prev_ts = prev_ts, is_ts
+            seen = [x for x in toks[:k] if x >= tb]
+            if seen:
+                floor = seen[-1] if (last_was and not penult_was) \
+                    else seen[-1] + 1
+                assert t >= floor, "timestamps must be monotone"
+        assert t != cfg.no_timestamps_token
 
 
 def test_decode_timestamps_obeys_rules(tiny_pair):
@@ -588,3 +592,90 @@ def test_teacher_seek_conditioning_prompt_is_text_only(tiny_pair):
     teacher.transcribe_batch([audio])
     assert seen_prompts[0] is None          # window 0: unconditioned
     assert seen_prompts[1] == [cfg.prev_token, 7, 8]  # consumed text only
+
+
+def test_decode_timestamps_matches_hf_logits_processor(tiny_pair):
+    """Token-by-token oracle parity for the timestamp rules: drive the SAME
+    HF torch model with transformers' WhisperTimeStampLogitsProcessor (the
+    upstream ApplyTimestampRules port) in a hand-rolled greedy loop and
+    require identical ids from decode_with_stats(timestamps=True).
+
+    Needs whisper's vocab layout (text < EOT < specials < timestamps), so
+    this builds its own tiny pair with eos=50 / tb=55 instead of reusing
+    the module fixture's eot=0 layout."""
+    from types import SimpleNamespace
+
+    import dataclasses
+    import jax
+
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    from transformers.generation.logits_process import (
+        WhisperTimeStampLogitsProcessor,
+    )
+
+    hf_cfg = WhisperConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=8,
+        max_source_positions=64, max_target_positions=24,
+        decoder_start_token_id=51, eos_token_id=50, pad_token_id=50,
+        bos_token_id=50)
+    torch.manual_seed(7)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = dataclasses.replace(
+        config_from_hf(hf_cfg), sot_token=51, language_token=52,
+        task_token=53, no_timestamps_token=54, prev_token=49,
+        timestamp_begin_token=None)  # tb = 55, whisper's no_ts + 1 layout
+    assert cfg.timestamp_begin == 55
+    params = port_hf_whisper(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(33)
+    audio = rng.normal(0, 0.5, size=(2, chunk_samples(cfg))).astype(np.float32)
+    mel = log_mel_spectrogram(jnp.asarray(audio), cfg.num_mel_bins)
+    max_init_idx = 4
+    ours = np.asarray(decode_with_stats(
+        cfg, params, mel, temperature=0.0, rng=jax.random.PRNGKey(0),
+        timestamps=True,
+        max_initial_timestamp=max_init_idx * cfg.timestamp_stride_samples
+        / 16000)[0])
+
+    # HF oracle: greedy argmax over processor-filtered scores, stepping the
+    # torch model on the growing prefix (begin_index = forced prompt len)
+    fe_mel = torch.tensor(np.asarray(mel).transpose(0, 2, 1))
+    prompt = cfg.forced_tokens(True)
+    proc = WhisperTimeStampLogitsProcessor(
+        SimpleNamespace(no_timestamps_token_id=cfg.no_timestamps_token,
+                        eos_token_id=cfg.eot_token, bos_token_id=None,
+                        max_initial_timestamp_index=max_init_idx,
+                        _detect_timestamp_from_logprob=True),
+        begin_index=len(prompt))
+    with torch.no_grad():
+        enc = hf.model.encoder(fe_mel).last_hidden_state
+        ids = torch.tensor([prompt] * 2)
+        done = [False, False]
+        ref_rows = [[], []]
+        for _ in range(cfg.max_target_positions - len(prompt)):
+            logits = hf.model.decoder(
+                input_ids=ids, encoder_hidden_states=enc).last_hidden_state
+            logits = hf.proj_out(logits)[:, -1, :]
+            scores = proc(ids, logits)
+            nxt = scores.argmax(-1)
+            for k in range(2):
+                if not done[k]:
+                    ref_rows[k].append(int(nxt[k]))
+                    if int(nxt[k]) == cfg.eot_token:
+                        done[k] = True
+            if all(done):
+                break
+            ids = torch.cat([ids, nxt[:, None]], dim=1)
+
+    for k in range(2):
+        got = []
+        for t in ours[k]:
+            got.append(int(t))
+            if int(t) == cfg.eot_token:
+                break
+        ref = ref_rows[k]
+        if ref[-1] != cfg.eot_token:  # token budget ran out, no eot marker
+            got = got[: len(ref)]
+        assert got == ref, f"row {k}: {got} != {ref}"
