@@ -280,16 +280,30 @@ class InferenceEngine:
         return self._append_f32_b(bufs, chunks.astype(np.float32), offsets)
 
     def warmup_streaming(self, buckets: Sequence[int] | None = None,
-                         chunk_samples: int = 8000) -> int:
+                         chunk_samples: int = 8000,
+                         hub: bool = False) -> int:
         """Precompile the resident-streaming programs: one forward per time
-        bucket plus the append program for ``chunk_samples``-sized feeds.
-        Returns the number of forward programs compiled."""
+        bucket plus the append program for ``chunk_samples``-sized feeds;
+        with ``hub`` also the StreamingHub's batched forward/append per
+        bucket. Returns the number of forward programs compiled."""
         buckets = list(buckets) if buckets is not None else self._buckets()
         buf = self.alloc_stream_buffer()
         buf = self.append_stream(buf, np.zeros((chunk_samples,), np.float32), 0)
         for t in buckets:
             jax.block_until_ready(
                 self._forward_res(self.params, buf, np.int32(t), t))
+        if hub:
+            q = self.STREAM_CHUNK_QUANTUM
+            c = min(-(-max(chunk_samples, 1) // q) * q, self.STREAM_CHUNK_MAX)
+            bufs = self.alloc_stream_buffers(self.scfg.batch_size)
+            bufs = self.append_stream_batch(
+                bufs, np.zeros((self.scfg.batch_size, c), np.float32),
+                np.zeros((self.scfg.batch_size,), np.int32))
+            ils = np.zeros((self.scfg.batch_size,), np.int32)
+            for t in buckets:
+                jax.block_until_ready(
+                    self._forward_res_b(self.params, bufs, ils, t))
+            return 2 * len(buckets)
         return len(buckets)
 
     def _bucket(self, n_samples: int) -> int:

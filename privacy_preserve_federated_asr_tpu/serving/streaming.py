@@ -323,8 +323,8 @@ class HubStreamingSession(StreamingSession):
         n = min(len(self._audio), self.engine.max_samples)
         if self._last is not None and n - self._last_pass_samples < hop:
             return self._last
-        self._hub._step()
-        if self._last is None:  # nothing fed yet (empty chunk)
+        self._hub._maybe_step(self)
+        if self._last is None:  # nothing fed yet / pass deferred to coalesce
             self._last = StreamingResult("", "", 0.0, 0, 0, 0, False)
         return self._last
 
@@ -363,6 +363,13 @@ class StreamingHub:
     finalization, beam carry, and transcripts are identical (tested
     against standalone sessions in tests/test_streaming.py).
 
+    Member feeds COALESCE: a due feed only triggers the shared pass once
+    every active member has fresh audio (lockstep streaming = exactly one
+    batched pass per fleet hop) or when the triggering member has fallen
+    >= 2 hops behind (a stalled peer never starves the rest; staleness is
+    bounded at 2 hops). ``min_hop_seconds == 0`` disables coalescing (any
+    fresh feed passes immediately).
+
     Not thread-safe (like sessions); drive it from one dispatcher. Rows
     free on ``finish()`` and are zeroed before reuse."""
 
@@ -393,6 +400,31 @@ class StreamingHub:
         self._sessions[row] = None
         if self._bufs is not None:
             self._bufs = self.engine.reset_stream_row(self._bufs, row)
+
+    def _maybe_step(self, trigger: HubStreamingSession) -> None:
+        """Coalesce member feeds into shared passes: a due feed runs the
+        batched pass only once EVERY active member has fresh audio (in
+        lockstep streaming that is exactly one pass per hop for the whole
+        fleet), or when the trigger has fallen >= 2 hops behind (a stalled
+        peer must not starve the rest — staleness is bounded at 2 hops).
+        With ``min_hop_seconds == 0`` any fresh audio forces the pass
+        (single-session/test semantics unchanged)."""
+        act = [s for s in self._sessions
+               if s is not None and not s._finished and len(s._audio) > 0]
+        if not act:
+            return
+        max_s = self.engine.max_samples
+
+        def pending(s):
+            base = s._last_pass_samples if s._last is not None else 0
+            return min(len(s._audio), max_s) - base
+
+        fresh = [s for s in act if s._last is None or pending(s) > 0]
+        if not fresh:
+            return
+        hop = int(self.scfg.min_hop_seconds * 16000)
+        if len(fresh) == len(act) or pending(trigger) >= max(2 * hop, 1):
+            self._step()
 
     def _step(self, finalize: frozenset = frozenset()) -> None:
         eng = self.engine

@@ -325,6 +325,70 @@ def bench_stream_ab(total_seconds=10.0, chunk_seconds=0.5, stage=2,
             "per_pass_ms": round(med / n_passes, 1)}), flush=True)
 
 
+def bench_hub_ab(n_sessions=8, total_seconds=6.0, chunk_seconds=0.5,
+                 stage=2, compute_dtype="bfloat16", trials=3):
+    """N concurrent streams: StreamingHub (one batched pass per hop for
+    the fleet) vs N standalone resident sessions (2 RPCs each per hop).
+    Same engine/params, interleaved trials; reports whole-fleet wall time
+    and the per-hop cost."""
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine, ServingConfig, StreamingConfig, StreamingHub,
+        StreamingSession)
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=stage, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    chunk = int(chunk_seconds * 16000)
+    rng = np.random.default_rng(0)
+    audios = [rng.normal(0, 0.3, size=int(total_seconds * 16000))
+              .astype(np.float32) for _ in range(n_sessions)]
+    eng = InferenceEngine(cfg, params, None, ServingConfig(
+        batch_size=n_sessions, time_multiple=48000, max_seconds=total_seconds,
+        compute_dtype=compute_dtype))
+    eng.warmup_streaming(chunk_samples=chunk, hub=True)
+    scfg = StreamingConfig(right_context_seconds=0.4,
+                           min_hop_seconds=chunk_seconds)
+    n_hops = len(audios[0]) // chunk + 1
+
+    def run_hub():
+        hub = StreamingHub(eng, scfg)
+        ss = [hub.open() for _ in audios]
+        t0 = time.perf_counter()
+        for i in range(0, len(audios[0]), chunk):
+            for k, s in enumerate(ss):
+                # lockstep feeds coalesce: the fleet's hop runs as ONE
+                # batched pass (triggered by the last member's feed)
+                s.feed(audios[k][i : i + chunk])
+        for s in ss:
+            s.finish()
+        return time.perf_counter() - t0
+
+    def run_solo():
+        ss = [StreamingSession(eng, scfg) for _ in audios]
+        t0 = time.perf_counter()
+        for i in range(0, len(audios[0]), chunk):
+            for k, s in enumerate(ss):
+                s.feed(audios[k][i : i + chunk])
+        for s in ss:
+            s.finish()
+        return time.perf_counter() - t0
+
+    results = {"hub": [], "solo": []}
+    for _ in range(trials):
+        results["hub"].append(round(run_hub() * 1e3, 1))
+        results["solo"].append(round(run_solo() * 1e3, 1))
+    for name, ms in results.items():
+        med = sorted(ms)[len(ms) // 2]
+        print(json.dumps({
+            "config": (f"hub-ab {name} N={n_sessions} {total_seconds}s/"
+                       f"{chunk_seconds}s-chunks st={stage} {compute_dtype}"),
+            "fleet_ms_trials": ms, "fleet_ms_median": med,
+            "per_hop_ms": round(med / n_hops, 1)}), flush=True)
+
+
 def bench_attention(t, impl, block=128, b=16, h=16, d=64, rate=0.0):
     from privacy_preserve_federated_asr_tpu.ops.attention import multihead_attention
 
@@ -386,6 +450,11 @@ def main():
         bench_transport_ab(
             batch_size=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
             compute_dtype=sys.argv[3] if len(sys.argv) > 3 else "bfloat16")
+    elif mode == "hub":
+        bench_hub_ab(
+            n_sessions=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+            total_seconds=float(sys.argv[3]) if len(sys.argv) > 3 else 6.0,
+            compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16")
     elif mode == "stream":
         bench_stream_ab(
             total_seconds=float(sys.argv[2]) if len(sys.argv) > 2 else 10.0,

@@ -512,3 +512,43 @@ def test_http_streaming_hub_with_fallback():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_hub_coalesces_lockstep_feeds():
+    """With a nonzero hop, lockstep feeds must run ONE batched pass per
+    fleet hop (the last due member's feed triggers it), and a member whose
+    peers stall is force-stepped once it falls 2 hops behind."""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()
+    passes = []
+    orig = eng._forward_res_b
+
+    def counting(p, bufs, ils, t):
+        passes.append(tuple(int(x) for x in np.asarray(ils)))
+        return orig(p, bufs, ils, t)
+
+    eng._forward_res_b = counting
+    hub = StreamingHub(eng, StreamingConfig(right_context_seconds=0.1,
+                                            min_hop_seconds=0.2))
+    a, b = hub.open(), hub.open()
+    hop = 3200  # 0.2 s
+    for i in range(3):
+        for k, s in enumerate((a, b)):
+            s.feed(_wave(hop, seed=40 + 10 * k + i))
+    # 3 lockstep hops -> exactly 3 batched passes: a's first feed runs
+    # alone (b hadn't joined yet), then every pass carries both rows
+    assert len(passes) == 3
+    assert passes[0][0] > 0 and passes[0][1] == 0
+    assert all(il[0] > 0 and il[1] > 0 for il in passes[1:])
+
+    # flush b's trailing pending chunk so both rows are fully consumed,
+    # then b stalls while a keeps feeding: 1 hop behind defers, 2 forces
+    hub._step()
+    n0 = len(passes)
+    a.feed(_wave(hop, seed=50))
+    assert len(passes) == n0          # deferred (b not fresh)
+    a.feed(_wave(hop, seed=51))
+    assert len(passes) == n0 + 1      # >= 2 hops pending: forced pass
+    a.finish()
+    b.finish()
