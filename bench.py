@@ -142,12 +142,20 @@ def _fl_round_metrics(stage: int, *, n_clients=2, utts_per_client=16,
     eng.run_rounds(stage=stage, num_rounds=1)  # compile + warm caches
     rounds_per_trial = 2
     rates, times = [], []
-    for _ in range(trials):
+
+    def one_trial():
         t0 = time.perf_counter()
         eng.run_rounds(stage=stage, num_rounds=rounds_per_trial)
         dt = (time.perf_counter() - t0) / rounds_per_trial
         times.append(dt)
         rates.append(n_clients * utts_per_client / dt)
+
+    for _ in range(trials):
+        one_trial()
+    # same tunnel-flap discipline as the headline: re-trial while the
+    # relative spread is wide, up to 6 trials (median of more samples)
+    while (max(rates) - min(rates)) / np.median(rates) > 0.15 and len(rates) < 6:
+        one_trial()
     return {
         "round_ms": round(float(np.median(times)) * 1e3, 1),
         "utt_per_sec": round(float(np.median(rates)), 1),

@@ -1044,11 +1044,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(config.json + pytorch_model.bin + tokenizer); "
                         "default teacher is this framework's CTC model "
                         "from -model_in (self-training)")
-    p.add_argument("--timestamps", action="store_true",
+    p.add_argument("--timestamps", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="whisper-teacher only: decode with timestamp "
                         "tokens and advance windows by the last predicted "
-                        "segment boundary (upstream whisper.transcribe's "
-                        "seek rule) instead of fixed 30 s hops")
+                        "segment boundary — upstream whisper.transcribe's "
+                        "default long-form semantics, so ON by default "
+                        "here; --no-timestamps restores fixed 30 s hops")
     p.set_defaults(fn=cmd_teacher)
 
     p = sub.add_parser("transcribe",
