@@ -407,6 +407,11 @@ def cmd_extract(args):
     cfg = _dacs_cfg(args)
     params = load_params(cfg, args.model_in_path, args.seed)
     out_dir = Path(args.csv_out_dir)
+    mesh = None
+    if args.dp > 1:  # reference: torch DataParallel eval (--GPU_batchsize)
+        from .parallel import make_mesh
+
+        mesh = make_mesh(client=1, data=args.dp)
     lm_fn = None
     for split, csv_path in (("", args.test_csv), ("_train", args.train_csv)):
         exs, tok = _load_examples(args, csv_path)
@@ -417,7 +422,7 @@ def cmd_extract(args):
                                   compute_dtype=args.compute_dtype,
                                   beam_size=args.beam_size, lm_fn=lm_fn,
                                   lm_alpha=args.lm_alpha,
-                                  lm_beta=args.lm_beta)
+                                  lm_beta=args.lm_beta, mesh=mesh)
         rows_to_pickle(rows, str(out_dir / f"{args.csv_name}{split}.pkl"))
         if split == "":  # the reference writes Result.csv for the test set
             write_results_csv(rows, str(out_dir))

@@ -69,6 +69,7 @@ def extract_embeddings(
     lm_fn=None,
     lm_alpha: float = 0.3,
     lm_beta: float = 0.0,
+    mesh=None,
 ) -> list[ExtractionRow]:
     """``compute_dtype="bfloat16"`` runs the forward in bf16 (the serving
     precision; dumped rows are float32 either way) and ``"int8"`` adds
@@ -76,10 +77,29 @@ def extract_embeddings(
     reference's batched extraction runs fp32 under DataParallel, so that
     stays the default. ``beam_size > 0`` decodes ``pred_str`` with CTC
     prefix beam search (ops/beam.py; optional shallow LM fusion) instead of
-    the reference's greedy argmax — an opt-in WER upgrade."""
+    the reference's greedy argmax — an opt-in WER upgrade.
+
+    ``mesh`` (a Mesh with a ``data`` axis, e.g. ``make_mesh(dp=N)``) runs
+    the extraction data-parallel: params replicate, every batch's rows
+    shard over the ``data`` axis and the jitted forward partitions under
+    GSPMD — the TPU-native form of the reference's multi-GPU
+    ``torch.nn.DataParallel`` eval (centralized/eval_toggle_GS.py:629-639).
+    Requires ``batch_size`` divisible by the axis size."""
     from ..models.recipes import get_recipe
 
     cfg, dtype = cfg.resolve_compute(compute_dtype)
+    rows_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        dp = int(mesh.shape["data"])
+        if batch_size % dp:
+            raise ValueError(
+                f"extraction batch_size {batch_size} must divide over the "
+                f"data axis ({dp})")
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+        rows_sh = NamedSharding(mesh, P("data"))
     recipe = get_recipe(cfg.method)
     model = recipe.make_model(cfg, dtype=dtype)
     beam = beam_size > 0
@@ -102,8 +122,11 @@ def extract_embeddings(
     by_path = {e.path: e for e in examples}
     rows: list[ExtractionRow] = []
     for b in batcher.epoch(epoch_seed=0):
+        db = DeviceBatch.from_host(b)
+        if rows_sh is not None:  # shard batch rows over the mesh's data axis
+            db = jax.tree.map(lambda x: jax.device_put(x, rows_sh), db)
         h, lm, ad, dlog, pred, ad_pred, flen, lp = jax.device_get(
-            forward(params, DeviceBatch.from_host(b)))
+            forward(params, db))
         if beam:
             from ..ops.beam import beam_search_batch
 

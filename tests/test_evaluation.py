@@ -301,3 +301,41 @@ def test_extract_embeddings_bf16_close_to_fp32():
         np.testing.assert_allclose(a.hidden_states, b.hidden_states,
                                    atol=0.15, rtol=0.1)
         assert a.pred_AD == b.pred_AD
+
+
+def test_extract_embeddings_dp_mesh_matches_single_device():
+    """Mesh data-parallel extraction (the reference's torch.nn.DataParallel
+    eval, centralized/eval_toggle_GS.py:629-639, as GSPMD batch sharding)
+    must reproduce the single-device rows exactly: params replicate, batch
+    rows shard over the 'data' axis, and the un-padding/decode host path is
+    untouched."""
+    from privacy_preserve_federated_asr_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+    cfg = DACSConfig(
+        backbone=BackboneConfig.tiny_for_tests(
+            hidden_dropout=0.0, attention_dropout=0.0,
+            activation_dropout=0.0, final_dropout=0.0),
+        stage=2, ad_loss="cel")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0))
+    exs = _examples(n=7, seed=3)  # odd count: last batch padded + masked
+    ref = extract_embeddings(cfg, params, exs, TOK, batch_size=4,
+                             time_multiple=3200)
+    mesh = make_mesh(client=1, data=4)
+    got = extract_embeddings(cfg, params, exs, TOK, batch_size=4,
+                             time_multiple=3200, mesh=mesh)
+    assert len(got) == len(ref) == len(exs)
+    ref_by, got_by = ({r.path: r for r in rows} for rows in (ref, got))
+    for p in ref_by:
+        a, b = ref_by[p], got_by[p]
+        assert a.pred_str == b.pred_str
+        assert a.pred_AD == b.pred_AD
+        np.testing.assert_allclose(b.hidden_states, a.hidden_states,
+                                   atol=2e-5)
+        np.testing.assert_allclose(b.dementia_logits, a.dementia_logits,
+                                   atol=2e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        extract_embeddings(cfg, params, exs, TOK, batch_size=3,
+                           time_multiple=3200, mesh=mesh)
