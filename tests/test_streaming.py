@@ -552,3 +552,62 @@ def test_hub_coalesces_lockstep_feeds():
     assert len(passes) == n0 + 1      # >= 2 hops pending: forced pass
     a.finish()
     b.finish()
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_hub_fuzz_random_interleavings_match_standalone():
+    """Property test: under random chunk sizes, staggered session opens,
+    random feed interleavings, coalescing hops and finish orders, every hub
+    member's FINAL transcript matches a standalone resident session fed
+    identically. A cross-row state bug (leaked buffer rows, wrong offsets,
+    misrouted consume) garbles transcripts wholesale; hub passes running at
+    different time buckets than solo passes can legitimately flip isolated
+    boundary frames (float-ulp bucket variance, random weights), so the
+    bound is a small edit distance, with frame counts exact."""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()
+    rng = np.random.default_rng(123)
+    for trial in range(3):
+        scfg = StreamingConfig(
+            right_context_seconds=float(rng.choice([0.1, 0.5, 10.0])),
+            min_hop_seconds=float(rng.choice([0.0, 0.2])))
+        hub = StreamingHub(eng, scfg)
+        n_sess = 2  # engine batch_size
+        audios = [_wave(int(rng.integers(2000, 2 * 16000)),
+                        seed=100 * trial + k) for k in range(n_sess)]
+        cursors = [0] * n_sess
+        hub_s = [None] * n_sess
+        solo_s = [None] * n_sess
+        finished = [False] * n_sess
+        while not all(finished):
+            k = int(rng.integers(n_sess))
+            if finished[k]:
+                continue
+            if hub_s[k] is None:  # staggered open
+                hub_s[k] = hub.open()
+                solo_s[k] = StreamingSession(eng, scfg)
+            if cursors[k] >= len(audios[k]) and rng.random() < 0.7:
+                rh, rs = hub_s[k].finish(), solo_s[k].finish()
+                assert rh.total_frames == rs.total_frames, (trial, k)
+                dist = _edit_distance(rh.transcript, rs.transcript)
+                assert dist <= max(2, len(rs.transcript) // 50), (
+                    trial, k, rh.transcript, rs.transcript)
+                finished[k] = True
+                continue
+            step = int(rng.integers(500, 9000))
+            chunk = audios[k][cursors[k] : cursors[k] + step]
+            cursors[k] += step
+            if len(chunk):
+                hub_s[k].feed(chunk)
+                solo_s[k].feed(chunk)
