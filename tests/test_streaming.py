@@ -611,3 +611,16 @@ def test_hub_fuzz_random_interleavings_match_standalone():
             if len(chunk):
                 hub_s[k].feed(chunk)
                 solo_s[k].feed(chunk)
+
+
+def test_streaming_warmup_hub_compiles_batched_programs():
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()
+    n = eng.warmup_streaming(chunk_samples=3200, hub=True)
+    assert n == 2 * len(eng._buckets())
+    # warmed: a hub pass reuses the compiled batched forward
+    hub = StreamingHub(eng)
+    s = hub.open()
+    s.feed(_wave(3200, seed=60))
+    assert s.finish().is_final
