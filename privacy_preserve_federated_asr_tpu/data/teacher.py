@@ -195,9 +195,11 @@ class WhisperTeacher:
         self.condition_on_previous_text = condition_on_previous_text
         # whisper transcribe's default decodes WITH timestamp tokens and
         # seeks each window to the last predicted segment boundary
-        # (timestamp_seek) instead of a fixed 30 s hop; off by default here
-        # (fixed windows — the round-3 behavior) because it needs a
-        # timestamp-token vocab range. `cli teacher --timestamps` enables.
+        # (timestamp_seek) instead of a fixed 30 s hop. The LIBRARY default
+        # here is False (needs a timestamp-token vocab range, which test
+        # configs lack); `cli teacher`'s Whisper path passes True by
+        # default — the upstream semantics — with --no-timestamps opting
+        # back into fixed windows.
         self.timestamps = timestamps
         self.max_initial_timestamp = max_initial_timestamp
         n_forced = len(cfg.forced_tokens(timestamps))
@@ -231,21 +233,31 @@ class WhisperTeacher:
     def _ids_to_text(self, row) -> str:
         eot = self.cfg.eot_token
         if self.timestamps:
-            # strip timestamp + special tokens (upstream keeps only ids
-            # below EOT for the text); stop at the first EOT
-            tb = self.cfg.timestamp_begin
-            specials = set(self.cfg.forced_tokens(False)) | {
-                eot, self.cfg.prev_token}
-            toks = []
-            for t in row:
-                t = int(t)
-                if t == eot:
-                    break
-                if t < tb and t not in specials:
-                    toks.append(t)
-            return self.detokenize(toks).upper().strip()
+            from ..models.whisper import timestamp_text_ids
+
+            return self.detokenize(
+                timestamp_text_ids(self.cfg, row)).upper().strip()
         return self.detokenize(
             [int(t) for t in row if int(t) != eot]).upper().strip()
+
+    def _build_prompts(self, rows, prev):
+        """Right-aligned ``<|startofprev|>`` conditioning prompts for the
+        given clip rows from their previous-window contexts; the context
+        resets after a window that needed temperature > 0.5 (whisper's
+        rule) or that produced no tokens. Shared by the fixed-window and
+        timestamp-seek loops."""
+        eot = self.cfg.eot_token
+        p = self.max_prompt
+        prompts = np.full((len(rows), p), eot, np.int32)
+        plens = np.zeros((len(rows),), np.int32)
+        for j, i in enumerate(rows):
+            ctx = prev[i]
+            if ctx is None or ctx[1] > 0.5 or not ctx[0]:
+                continue
+            toks = [self.cfg.prev_token] + ctx[0][-(p - 1):]
+            prompts[j, p - len(toks):] = toks
+            plens[j] = len(toks)
+        return prompts, plens
 
     def _decode_windows(self, windows: np.ndarray, idx, temperature, seed,
                         prompts: np.ndarray | None = None,
@@ -326,16 +338,7 @@ class WhisperTeacher:
                     self.compression_ratio_threshold, self.logprob_threshold,
                     seed=w)
             else:
-                p = self.max_prompt
-                prompts = np.full((len(rows), p), eot, np.int32)
-                plens = np.zeros((len(rows),), np.int32)
-                for j, i in enumerate(rows):
-                    ctx = prev[i]
-                    if ctx is None or ctx[1] > 0.5:  # whisper's reset rule
-                        continue
-                    toks = [self.cfg.prev_token] + ctx[0][-(p - 1):]
-                    prompts[j, p - len(toks):] = toks  # right-aligned
-                    plens[j] = len(toks)
+                prompts, plens = self._build_prompts(rows, prev)
                 texts, ids, temps = fallback_transcribe_full(
                     lambda idx, t, s: self._decode_windows(
                         stack, idx, t, s, prompts, plens),
@@ -361,7 +364,6 @@ class WhisperTeacher:
         text tokens only (timestamps/specials stripped), as upstream."""
         from ..models.whisper import timestamp_seek
 
-        eot = self.cfg.eot_token
         parts: list[list[str]] = [[] for _ in clips]
         seek = [0] * len(clips)
         prev: list[tuple[list[int], float] | None] = [None] * len(clips)
@@ -373,16 +375,7 @@ class WhisperTeacher:
                 self._pad_or_trim(clips[i][seek[i] : seek[i] + self.chunk])
                 for i in rows])
             if self.condition_on_previous_text and w > 0:
-                p = self.max_prompt
-                prompts = np.full((len(rows), p), eot, np.int32)
-                plens = np.zeros((len(rows),), np.int32)
-                for j, i in enumerate(rows):
-                    ctx = prev[i]
-                    if ctx is None or ctx[1] > 0.5 or not ctx[0]:
-                        continue
-                    toks = [self.cfg.prev_token] + ctx[0][-(p - 1):]
-                    prompts[j, p - len(toks):] = toks
-                    plens[j] = len(toks)
+                prompts, plens = self._build_prompts(rows, prev)
                 _, ids, temps = fallback_transcribe_full(
                     lambda idx, t, s: self._decode_windows(
                         stack, idx, t, s, prompts, plens),

@@ -498,10 +498,12 @@ def decode_with_stats(
         lg = lg.astype(jnp.float32)
         lg = jnp.where(ids_row[None, :] == c.no_timestamps_token, NEG, lg)
         after_pair = prev_ts & prevprev_ts   # pair closed: text must follow
-        mid_pair = prev_ts & ~prevprev_ts    # segment end: only ts/EOT next
+        mid_pair = prev_ts & ~prevprev_ts    # segment end: no text next
         lg = jnp.where(after_pair[:, None] & is_ts_tok[None, :], NEG, lg)
-        ok_mid = is_ts_tok | (ids_row == c.eot_token)
-        lg = jnp.where(mid_pair[:, None] & ~ok_mid[None, :], NEG, lg)
+        # upstream masks exactly scores[:, :eot] here — ids in (eot, tb)
+        # (specials) stay selectable, matching HF's processor bit for bit
+        lg = jnp.where(mid_pair[:, None]
+                       & (ids_row < c.eot_token)[None, :], NEG, lg)
         # monotonic: suppress tb <= id < floor (closing a pair may repeat
         # the opening timestamp; a new segment must move strictly past it)
         floor = jnp.where(mid_pair, last_ts, last_ts + 1)
@@ -596,6 +598,24 @@ def greedy_decode(
     return out
 
 
+def timestamp_text_ids(cfg: WhisperConfigT, ids) -> list[int]:
+    """Sampled TEXT tokens of a timestamp-mode decode: stop at the first
+    EOT, drop timestamp tokens and specials (upstream keeps only ids below
+    EOT; the explicit special set generalizes to test vocab layouts whose
+    specials sit below the timestamp range). Shared by the stitched
+    transcript, the conditioning prompt, and the quality-gate text."""
+    tb = cfg.timestamp_begin
+    specials = set(cfg.forced_tokens(False)) | {cfg.eot_token, cfg.prev_token}
+    out = []
+    for t in ids:
+        t = int(t)
+        if t == cfg.eot_token:
+            break
+        if t < tb and t not in specials:
+            out.append(t)
+    return out
+
+
 def timestamp_seek(cfg: WhisperConfigT, ids) -> tuple[int, list[int]]:
     """Upstream ``whisper.transcribe``'s seek rule over one window's decoded
     ids (with ``timestamps=True``): returns ``(advance_samples, text_ids)``.
@@ -610,28 +630,25 @@ def timestamp_seek(cfg: WhisperConfigT, ids) -> tuple[int, list[int]]:
     stripped — what the stitched transcript and the next window's
     conditioning prompt use (upstream keeps only ids below EOT)."""
     tb = cfg.timestamp_begin
-    specials = set(cfg.forced_tokens(False)) | {cfg.eot_token, cfg.prev_token}
     toks: list[int] = []
     for t in ids:
         t = int(t)
         if t == cfg.eot_token:
             break
         toks.append(t)
-    def text_of(seq):
-        return [t for t in seq if t < tb and t not in specials]
 
     window = cfg.max_source_positions * cfg.timestamp_stride_samples
     is_ts = [t >= tb for t in toks]
     pair_ends = [i + 1 for i in range(len(toks) - 1)
                  if is_ts[i] and is_ts[i + 1]]
     if not pair_ends:
-        return window, text_of(toks)
+        return window, timestamp_text_ids(cfg, toks)
     last = pair_ends[-1]
     advance = (toks[last - 1] - tb) * cfg.timestamp_stride_samples
     if advance <= 0:
-        return window, text_of(toks)
+        return window, timestamp_text_ids(cfg, toks)
     # tokens past the boundary describe audio the NEXT window re-decodes
-    return advance, text_of(toks[: last + 1])
+    return advance, timestamp_text_ids(cfg, toks[: last + 1])
 
 
 def compression_ratio(text: str) -> float:

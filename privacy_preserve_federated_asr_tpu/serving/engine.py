@@ -129,24 +129,29 @@ class InferenceEngine:
             return pred, ad_pred, ad_prob, out.frame_lengths
 
         self._forward = jax.jit(forward)
+
+        def _mask_normalize(x, il, t):
+            """Masked zero-mean/unit-var normalization on device (the host
+            twin is data/audio.py normalize_input_values) — shared by the
+            int16 batch path and the resident-streaming forwards."""
+            mask = (jnp.arange(t)[None, :] < il[:, None]).astype(jnp.float32)
+            if self.scfg.normalize:
+                cnt = jnp.maximum(il.astype(jnp.float32), 1.0)
+                mean = (x * mask).sum(-1) / cnt
+                var = (jnp.square(x - mean[:, None]) * mask).sum(-1) / cnt
+                x = (x - mean[:, None]) / jnp.sqrt(var + 1e-7)[:, None]
+            return x * mask
+
         if scfg.transport not in ("float32", "int16"):
             raise ValueError(f"unknown transport {scfg.transport!r}")
         if scfg.transport == "int16":
-            # separate program: int16 payload + per-row scale in, device-side
-            # dequant + masked zero-mean/unit-var normalization (the host
-            # twin is data/audio.py normalize_input_values). Streaming
-            # sessions keep using the float program (`_forward`).
+            # separate program: int16 payload + per-row scale in, dequant +
+            # masked normalization on device
             def forward_i16(p, iv_i16, scales, input_lengths):
                 x = iv_i16.astype(jnp.float32) * scales[:, None]
-                t = x.shape[1]
-                mask = (jnp.arange(t)[None, :]
-                        < input_lengths[:, None]).astype(jnp.float32)
-                if self.scfg.normalize:
-                    n = jnp.maximum(input_lengths.astype(jnp.float32), 1.0)
-                    mean = (x * mask).sum(-1) / n
-                    var = (jnp.square(x - mean[:, None]) * mask).sum(-1) / n
-                    x = (x - mean[:, None]) / jnp.sqrt(var + 1e-7)[:, None]
-                return forward(p, x * mask, input_lengths)
+                return forward(
+                    p, _mask_normalize(x, input_lengths, x.shape[1]),
+                    input_lengths)
 
             self._forward_i16 = jax.jit(forward_i16)
 
@@ -175,15 +180,6 @@ class InferenceEngine:
         # 2 RPCs per hop for the whole fleet instead of 2 per session
         self._append_f32_b = jax.jit(jax.vmap(append_f32))
         self._append_i16_b = jax.jit(jax.vmap(append_i16))
-
-        def _mask_normalize(x, il, t):
-            mask = (jnp.arange(t)[None, :] < il[:, None]).astype(jnp.float32)
-            if self.scfg.normalize:
-                cnt = jnp.maximum(il.astype(jnp.float32), 1.0)
-                mean = (x * mask).sum(-1) / cnt
-                var = (jnp.square(x - mean[:, None]) * mask).sum(-1) / cnt
-                x = (x - mean[:, None]) / jnp.sqrt(var + 1e-7)[:, None]
-            return x * mask
 
         def forward_res(p, buf, n, t):
             x = jax.lax.slice(buf, (0,), (t,))[None, :]

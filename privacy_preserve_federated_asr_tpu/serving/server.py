@@ -239,6 +239,13 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
     engine.start()
     if warmup:
         n = engine.warmup()
+        # streaming sessions default to resident windows and the shared
+        # hub, whose per-bucket programs differ from the batch forward —
+        # warm them too, or the first streams pay request-time compiles
+        # (under the hub lock, stalling the whole fleet)
+        scfg = stream_cfg if stream_cfg is not None else StreamingConfig()
+        if scfg.resident:
+            n += engine.warmup_streaming(hub=True)
         print(f"[serve] warmed {n} bucket programs")
     srv = make_server(engine, host, port, stream_cfg=stream_cfg)
     print(f"[serve] listening on http://{host}:{port} "

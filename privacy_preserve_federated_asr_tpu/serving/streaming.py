@@ -16,10 +16,13 @@ choosing the knob for a deployment; tests/test_streaming.py pins the
 measurement's calibration (rate falls to 0 as right context grows, == 0
 when nothing finalizes early).
 
-TPU mapping: every incremental pass is the SAME bucketed, warmed-up
-program the batch engine uses (``InferenceEngine._forward``), so a
-streaming session never triggers a compile; the growing audio simply walks
-up the engine's time-bucket grid. CTC makes the stitching exact: we keep
+TPU mapping: every incremental pass is a bucketed program — the resident
+paths' per-bucket forwards (``_forward_res``/``_forward_res_b``,
+precompiled by ``engine.warmup_streaming(hub=...)``; ``serve_forever``
+warms them at startup) or, in legacy mode, the same batch program the
+engine uses — so a warmed streaming session never triggers a compile; the
+growing audio simply walks up the engine's time-bucket grid. CTC makes
+the stitching exact: we keep
 per-frame argmax ids (``ops/decode.greedy_ids``) for finalized frames and
 run the tokenizer's collapse over (finalized ids + current partial tail),
 so repeats/blanks across the finalize boundary collapse correctly.
@@ -254,21 +257,27 @@ class StreamingSession:
 
     # ---- public API ----
 
-    def feed(self, chunk: np.ndarray) -> StreamingResult:
-        """Append audio (float32 @16 kHz); returns the updated state. Runs a
-        device pass only once ``min_hop_seconds`` of new audio accumulated
-        (or on the first chunk); otherwise returns the previous state."""
+    def _ingest(self, chunk: np.ndarray) -> bool:
+        """Shared feed preamble (standalone + hub members): append the
+        chunk and hop-gate. Returns True when a device pass is due."""
         if self._finished:
             raise RuntimeError("session already finished")
         chunk = np.asarray(chunk, np.float32).reshape(-1)
-        # _run_pass only ever reads the first max_samples; keeping more
-        # would grow an unbounded buffer under a long-lived stream
+        # passes only ever read the first max_samples; keeping more would
+        # grow an unbounded buffer under a long-lived stream
         room = self.engine.max_samples - len(self._audio)
         if room > 0:
             self._audio = np.concatenate([self._audio, chunk[:room]])
         hop = int(self.scfg.min_hop_seconds * 16000)
         n = min(len(self._audio), self.engine.max_samples)
-        if self._last is not None and n - self._last_pass_samples < hop:
+        return self._last is None or n - self._last_pass_samples >= hop
+
+    def feed(self, chunk: np.ndarray) -> StreamingResult:
+        """Append audio (float32 @16 kHz); returns the updated state. Runs a
+        device pass only once ``min_hop_seconds`` of new audio accumulated
+        (or on the first chunk); otherwise returns the previous state."""
+        if not self._ingest(chunk):
+            assert self._last is not None
             return self._last
         return self._run_pass()
 
@@ -288,8 +297,11 @@ class StreamingSession:
     def close(self) -> None:
         """Abandon the session without a finalize pass (idempotent) — the
         HTTP server's idle reaper uses this; hub members also free their
-        row."""
+        row. ``finish()``/``result()`` afterwards return the last observed
+        state (or an empty final result if no pass ever ran)."""
         self._finished = True
+        if self._last is None:
+            self._last = StreamingResult("", "", 0.0, 0, 0, 0, True)
 
     def result(self) -> InferenceResult:
         """The finished session as the batch path's result type."""
@@ -313,17 +325,8 @@ class HubStreamingSession(StreamingSession):
         self._buf = None  # rows live in the hub's stacked buffer
 
     def feed(self, chunk: np.ndarray) -> StreamingResult:
-        if self._finished:
-            raise RuntimeError("session already finished")
-        chunk = np.asarray(chunk, np.float32).reshape(-1)
-        room = self.engine.max_samples - len(self._audio)
-        if room > 0:
-            self._audio = np.concatenate([self._audio, chunk[:room]])
-        hop = int(self.scfg.min_hop_seconds * 16000)
-        n = min(len(self._audio), self.engine.max_samples)
-        if self._last is not None and n - self._last_pass_samples < hop:
-            return self._last
-        self._hub._maybe_step(self)
+        if self._ingest(chunk):
+            self._hub._maybe_step(self)
         if self._last is None:  # nothing fed yet / pass deferred to coalesce
             self._last = StreamingResult("", "", 0.0, 0, 0, 0, False)
         return self._last
@@ -344,6 +347,8 @@ class HubStreamingSession(StreamingSession):
     def close(self) -> None:
         if not self._finished:
             self._finished = True
+            if self._last is None:
+                self._last = StreamingResult("", "", 0.0, 0, 0, 0, True)
             self._hub._release(self._row)
 
 

@@ -624,3 +624,29 @@ def test_streaming_warmup_hub_compiles_batched_programs():
     s = hub.open()
     s.feed(_wave(3200, seed=60))
     assert s.finish().is_final
+
+
+def test_close_then_finish_is_graceful():
+    """close() abandons a session; finish()/result() afterwards must return
+    a result (empty-final if no pass ever ran), never crash — the HTTP
+    reaper closes sessions that a late client may still try to finish."""
+    from privacy_preserve_federated_asr_tpu.serving import StreamingHub
+
+    eng = _engine()
+    s = StreamingSession(eng)
+    s.close()
+    r = s.finish()
+    assert r.is_final and r.transcript == ""
+    assert s.result().transcript == ""
+
+    hub = StreamingHub(eng)
+    h = hub.open()
+    h.close()
+    assert h.finish().is_final
+    assert hub.active_sessions() == 0  # row freed by close
+
+    # close after real feeds keeps the last observed state
+    s2 = StreamingSession(eng)
+    s2.feed(_wave(3200, seed=70))
+    s2.close()
+    assert s2.finish().total_frames > 0

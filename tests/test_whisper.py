@@ -448,7 +448,10 @@ def _check_ts_grammar(cfg, row, cap=None):
         if last_was and penult_was:
             assert not is_ts, "timestamp where text is required"
         if last_was and not penult_was:
-            assert is_ts, "text token after a segment-end timestamp"
+            # upstream masks ids below EOT here (text); specials in
+            # (eot, tb) stay legal, exactly like HF's processor
+            assert t >= cfg.eot_token, \
+                "text token after a segment-end timestamp"
         if is_ts:
             seen = [x for x in toks[:k] if x >= tb]
             if seen:
