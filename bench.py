@@ -164,26 +164,132 @@ def _fl_round_metrics(stage: int, *, n_clients=2, utts_per_client=16,
     }
 
 
-def _fl_rows_subprocess() -> dict:
-    """Run the federated-round metrics in a SUBPROCESS with its own time
-    budget, BEFORE this process touches the TPU. Isolation matters twice:
-    (a) a wedged engine round (tunnel hang) degrades to an "error" field
-    instead of eating the headline's watchdog; (b) the axon tunnel serves
-    one registered process at a time, so the child must run before the
-    parent initializes its TPU client."""
+def _serving_metrics() -> dict:
+    """Serving-ladder rows for the artifact of record (VERDICT r4 item
+    #3): the measured wins in PERF.md §6 — batched serving, device-
+    resident streaming, the StreamingHub's one-batched-pass-per-hop —
+    previously lived only in one-off perf_lab prose; a regression in
+    serving/engine.py or serving/streaming.py performance was invisible.
+    Small fixed shapes, median of >= 3 trials with the same spread-retry
+    discipline as the headline. ONE engine (batch_size=8, 3 s buckets)
+    serves all three rows to bound the program count on the remote
+    compile service."""
+    import jax
+
+    from privacy_preserve_federated_asr_tpu.models import BackboneConfig, DACSConfig
+    from privacy_preserve_federated_asr_tpu.serving import (
+        InferenceEngine,
+        ServingConfig,
+        StreamingConfig,
+        StreamingHub,
+        StreamingSession,
+    )
+    from privacy_preserve_federated_asr_tpu.train.train_state import init_dacs_params
+
+    cfg = DACSConfig(
+        backbone=BackboneConfig.data2vec_audio_large().replace(final_dropout=0.0),
+        stage=2, ad_loss="recall")
+    params = init_dacs_params(cfg, jax.random.PRNGKey(0), example_len=8000)
+    eng = InferenceEngine(cfg, params, None, ServingConfig(
+        batch_size=8, time_multiple=48000, max_seconds=5.0,
+        compute_dtype="bfloat16"))
+    rng = np.random.default_rng(0)
+    waves = [rng.normal(0, 0.3, size=80000).astype(np.float32)
+             for _ in range(8)]
+    chunk = 8000  # 0.5 s
+    audios = [rng.normal(0, 0.3, size=48000).astype(np.float32)
+              for _ in range(8)]
+    scfg = StreamingConfig(right_context_seconds=0.4, min_hop_seconds=0.5)
+    eng.warmup([80000])
+    eng.warmup_streaming(chunk_samples=chunk, hub=True)
+
+    def median_ms(run, n_units=1, trials=3, max_trials=6, spread_max=0.15):
+        run()  # warm
+        vals = [run() for _ in range(trials)]
+        while ((max(vals) - min(vals)) / float(np.median(vals)) > spread_max
+               and len(vals) < max_trials):
+            vals.append(run())
+        return round(float(np.median(vals)) * 1e3 / n_units, 2), [
+            round(v * 1e3, 1) for v in vals]
+
+    def run_batch():
+        t0 = time.perf_counter()
+        rs = eng.infer_batch(waves)
+        _ = rs[-1].ad_prob
+        return time.perf_counter() - t0
+
+    n_hops = len(audios[0]) // chunk + 1
+
+    def run_stream():
+        s = StreamingSession(eng, scfg)
+        t0 = time.perf_counter()
+        for i in range(0, len(audios[0]), chunk):
+            s.feed(audios[0][i : i + chunk])
+        s.finish()
+        return time.perf_counter() - t0
+
+    def run_hub():
+        hub = StreamingHub(eng, scfg)
+        ss = [hub.open() for _ in audios]
+        t0 = time.perf_counter()
+        for i in range(0, len(audios[0]), chunk):
+            for k, s in enumerate(ss):
+                s.feed(audios[k][i : i + chunk])
+        for s in ss:
+            s.finish()
+        return time.perf_counter() - t0
+
+    batch_ms, batch_trials = median_ms(run_batch)
+    stream_ms, stream_trials = median_ms(run_stream, n_units=n_hops)
+    hub_ms, hub_trials = median_ms(run_hub, n_units=n_hops)
+    return {"serving": {
+        "serving_batch8_ms": batch_ms,
+        "serving_batch8_trials_ms": batch_trials,
+        "stream_pass_ms": stream_ms,
+        "stream_total_trials_ms": stream_trials,
+        "hub_fleet_hop_ms": hub_ms,
+        "hub_fleet_total_trials_ms": hub_trials,
+        "shape": ("serve B=8x5s bf16 st=2; stream 3s/0.5s-chunks resident; "
+                  f"hub N=8 ({n_hops} hops)"),
+    }}
+
+
+def _serve_only_main() -> None:
+    import os
+
+    _arm_watchdog(float(os.environ.get("BENCH_SERVE_TIMEOUT_S", "1500")) - 30.0)
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        rows = _serving_metrics()
+    except Exception as e:  # noqa: BLE001 - report, don't die
+        rows = {"serving": {"error": f"{type(e).__name__}: {e}"[:200]}}
+    print(json.dumps(rows), flush=True)
+
+
+def _aux_subprocess(flag: str, keys: tuple, timeout_env: str,
+                    default_s: str) -> dict:
+    """Run an aux metrics pass in a SUBPROCESS with its own time budget,
+    BEFORE this process touches the TPU. Isolation matters twice: (a) a
+    wedged run (tunnel hang) degrades to an "error" field instead of
+    eating the headline's watchdog; (b) the axon tunnel serves one
+    registered process at a time, so children run before the parent
+    initializes its TPU client."""
     import os
     import subprocess
     import sys
 
-    timeout = float(os.environ.get("BENCH_FL_TIMEOUT_S", "1500"))
+    timeout = float(os.environ.get(timeout_env, default_s))
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--fl-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=timeout,
             cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired:
-        return {k: {"error": f"timeout after {timeout:.0f}s"}
-                for k in ("fl_round_stage0", "fl_round_stage2")}
+        return {k: {"error": f"timeout after {timeout:.0f}s"} for k in keys}
     for line in reversed(proc.stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -193,7 +299,17 @@ def _fl_rows_subprocess() -> dict:
                 break
     tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
     return {k: {"error": f"rc={proc.returncode}: {' | '.join(tail)}"[:200]}
-            for k in ("fl_round_stage0", "fl_round_stage2")}
+            for k in keys}
+
+
+def _fl_rows_subprocess() -> dict:
+    return _aux_subprocess("--fl-only", ("fl_round_stage0", "fl_round_stage2"),
+                           "BENCH_FL_TIMEOUT_S", "1500")
+
+
+def _serving_rows_subprocess() -> dict:
+    return _aux_subprocess("--serve-only", ("serving",),
+                           "BENCH_SERVE_TIMEOUT_S", "1500")
 
 
 def _fl_only_main() -> None:
@@ -218,10 +334,11 @@ def main() -> None:
     import os
 
     # budget covers: backend wait (<=900s) + FL subprocess (<=1500s) +
-    # the headline's own compile/run
-    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "3600")))
+    # serving subprocess (<=1500s) + the headline's own compile/run
+    _arm_watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "5400")))
     _wait_for_backend()
     fl_rows = _fl_rows_subprocess()
+    serve_rows = _serving_rows_subprocess()
     import jax
 
     # RBG PRNG: threefry dropout-mask generation costs ~55 ms/step on this
@@ -335,6 +452,7 @@ def main() -> None:
         # rounds are the fl_round_* fields below (and PERF.md §5)
         "scope": "steady_state_train_step",
         **fl_rows,
+        **serve_rows,
     }))
 
 
@@ -343,5 +461,7 @@ if __name__ == "__main__":
 
     if "--fl-only" in sys.argv:
         _fl_only_main()
+    elif "--serve-only" in sys.argv:
+        _serve_only_main()
     else:
         main()

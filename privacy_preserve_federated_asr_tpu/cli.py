@@ -515,13 +515,12 @@ def cmd_svm(args):
     print(json.dumps(m))
 
 
-def _build_bert_embed(args):
-    """Ported HF BERT checkpoint (--bert_checkpoint + --vocab) -> a
-    texts -> [B, hidden] pooled-embedding callable (+ its width)."""
+def _load_bert_assets(args):
+    """Ported HF BERT checkpoint (--bert_checkpoint + --vocab) ->
+    (flax params, BertConfigT, WordPieceTokenizer)."""
     import torch
 
-    from .text.bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
-    from .text.classifier import embed_sessions
+    from .text.bert import BertConfigT, WordPieceTokenizer, port_hf_bert
 
     sd = torch.load(args.bert_checkpoint, map_location="cpu", weights_only=True)
     n_layers = max(int(k.split(".")[2]) for k in sd if k.startswith("encoder.layer.")) + 1
@@ -544,8 +543,18 @@ def _build_bert_embed(args):
         intermediate_size=sd["encoder.layer.0.intermediate.dense.weight"].shape[0],
         max_position_embeddings=sd["embeddings.position_embeddings.weight"].shape[0])
     params = port_hf_bert(sd, bcfg)
-    enc = BertEncoder(bcfg)
     tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+    return params, bcfg, tok
+
+
+def _build_bert_embed(args):
+    """Ported HF BERT checkpoint -> a texts -> [B, hidden]
+    pooled-embedding callable (+ its width)."""
+    from .text.bert import BertEncoder
+    from .text.classifier import embed_sessions
+
+    params, bcfg, tok = _load_bert_assets(args)
+    enc = BertEncoder(bcfg)
 
     def embed(texts):
         return embed_sessions(
@@ -581,11 +590,24 @@ def cmd_text(args):
         from .text.classifier import TextTrainerConfig as _TTC
         from .text.experiments import EXPERIMENTS, run_experiment
 
-        backends = None
-        if args.bert_checkpoint:
-            # the ported checkpoint serves every TEXT backend in the spec
-            # (the classifier sizes itself from the actual width); audio
-            # backends keep the offline fallback
+        backends, ft_kw = None, {}
+        if args.finetune:
+            from .text.finetune import FinetuneTrainerConfig
+
+            ft_kw = {"finetune": True, "ftcfg": FinetuneTrainerConfig(
+                num_epochs=args.epochs, batch_size=args.train_batch_size,
+                learning_rate=args.learning_rate or 2e-5,
+                lr_schedule=args.lr_schedule, seed=args.seed,
+                max_length=args.max_length, dp=args.dp)}
+            if args.bert_checkpoint:
+                # fine-tune INTO the ported checkpoint (the reference
+                # setup: pretrained encoder + AdamW over everything)
+                params, bcfg, tok = _load_bert_assets(args)
+                ft_kw.update(bert_cfg=bcfg, tokenizer=tok,
+                             encoder_params=params)
+        elif args.bert_checkpoint:
+            # frozen fast path: the ported checkpoint serves every TEXT
+            # backend in the spec as a fixed embedder
             from .text.experiments import TEXT_BACKENDS
 
             embed, _ = _build_bert_embed(args)
@@ -594,11 +616,12 @@ def cmd_text(args):
                         if i.backend in TEXT_BACKENDS}
         out = run_experiment(
             args.experiment, train_rows, test_rows, backends=backends,
+            audio_root=args.audio_root,
             tcfg=_TTC(num_epochs=args.epochs,
                       batch_size=args.train_batch_size,
                       learning_rate=args.learning_rate or 1e-3,
                       lr_schedule=args.lr_schedule, seed=args.seed),
-            seeds=tuple(range(args.seed, args.seed + 3)))
+            seeds=tuple(range(args.seed, args.seed + 3)), **ft_kw)
         print(json.dumps({"experiment": args.experiment, **out}))
         return
 
@@ -613,6 +636,50 @@ def cmd_text(args):
         return out
 
     y_train_map, y_test_map = labels_of(train_rows), labels_of(test_rows)
+
+    sessions_train_ft = sorted(docs_train)
+    sessions_test_ft = sorted(docs_test)
+    if args.finetune:
+        # end-to-end: the encoder trains inside the graph (reference
+        # SingleForwardModel; AdamW over all params)
+        import numpy as _np
+
+        from .text.bert import BertConfigT, WordPieceTokenizer
+        from .text.finetune import (
+            FinetuneConfig,
+            FinetuneTextTrainer,
+            FinetuneTrainerConfig,
+        )
+
+        enc_params = None
+        if args.bert_checkpoint:
+            enc_params, bcfg, tok = _load_bert_assets(args)
+        else:
+            corpus = [docs_train[s] for s in sessions_train_ft]
+            tok = WordPieceTokenizer.from_corpus(corpus)
+            bcfg = BertConfigT(
+                vocab_size=max(len(tok.vocab), 8), hidden_size=128,
+                num_hidden_layers=4, num_attention_heads=4,
+                intermediate_size=256,
+                max_position_embeddings=args.max_length)
+        tr = FinetuneTextTrainer(
+            FinetuneConfig(bert=bcfg), tok,
+            FinetuneTrainerConfig(
+                num_epochs=args.epochs, batch_size=args.train_batch_size,
+                learning_rate=args.learning_rate or 2e-5,
+                lr_schedule=args.lr_schedule, seed=args.seed,
+                max_length=args.max_length, dp=args.dp))
+        xtr = [docs_train[s] for s in sessions_train_ft]
+        xte = [docs_test[s] for s in sessions_test_ft]
+        ytr = _np.asarray([y_train_map[s] for s in sessions_train_ft],
+                          dtype=_np.int32)
+        yte = _np.asarray([y_test_map[s] for s in sessions_test_ft],
+                          dtype=_np.int32)
+        tr.fit([xtr], ytr, val_texts_per_input=[xte], val_labels=yte,
+               encoder_params=enc_params)
+        out = {f"test_{k}": v for k, v in tr.evaluate([xte], yte).items()}
+        print(json.dumps({**out, "mode": "finetune"}))
+        return
 
     if args.bert_checkpoint:
         embed, dim = _build_bert_embed(args)
@@ -1033,6 +1100,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-lr", "--learning_rate", type=float, default=None)
     p.add_argument("--lr_schedule", default="lin", choices=["exp", "lin", "cos"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--finetune", action="store_true",
+                   help="train the BERT encoder INSIDE the graph (AdamW "
+                        "over ALL params — the reference SingleForwardModel "
+                        "setup, Dementia_challenge_models.py:312) instead "
+                        "of the frozen-embedding head fast path")
+    p.add_argument("--max_length", type=int, default=128,
+                   help="finetune: static token length per example")
+    p.add_argument("--dp", type=int, default=1,
+                   help="finetune: shard the batch over this many devices "
+                        "(Lightning-DDP parity)")
+    p.add_argument("--audio_root", default=None,
+                   help="resolve audio InputSpecs (en/gr/multi/wv) against "
+                        "this directory and embed real waveforms through "
+                        "the SSL conv frontend (no hash fallback)")
     p.set_defaults(fn=cmd_text)
 
     p = sub.add_parser("teacher",

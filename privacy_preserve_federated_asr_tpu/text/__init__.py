@@ -23,6 +23,13 @@ from .experiments import (
 )
 from .bert import BertConfigT, BertEncoder, WordPieceTokenizer, port_hf_bert
 from .classifier import TextClassifier, TextClassifierConfig, TextTrainer
+from .finetune import (
+    FinetuneConfig,
+    FinetuneTextModel,
+    FinetuneTextTrainer,
+    FinetuneTrainerConfig,
+)
+from .audio_backend import audio_backends_for, make_ssl_audio_backend
 
 __all__ = [
     "SessionUtterance",
@@ -51,4 +58,10 @@ __all__ = [
     "TextClassifier",
     "TextClassifierConfig",
     "TextTrainer",
+    "FinetuneConfig",
+    "FinetuneTextModel",
+    "FinetuneTextTrainer",
+    "FinetuneTrainerConfig",
+    "audio_backends_for",
+    "make_ssl_audio_backend",
 ]

@@ -145,6 +145,24 @@ def port_hf_bert(state_dict, cfg: BertConfigT, prefix: str = "") -> dict:
     return p
 
 
+def _basic_split(text: str, lowercase: bool) -> list[str]:
+    if lowercase:
+        text = text.lower()
+    out, word = [], []
+    for ch in text:
+        if ch.isalnum() or ch == "'":
+            word.append(ch)
+        else:
+            if word:
+                out.append("".join(word))
+                word = []
+            if not ch.isspace():
+                out.append(ch)
+    if word:
+        out.append("".join(word))
+    return out
+
+
 class WordPieceTokenizer:
     """Greedy longest-match WordPiece (BERT-style), loading a standard
     vocab.txt (one token per line, ## continuations)."""
@@ -166,22 +184,23 @@ class WordPieceTokenizer:
         with open(path) as f:
             return cls([line.rstrip("\n") for line in f], **kw)
 
+    @classmethod
+    def from_corpus(cls, texts, max_vocab: int = 8000, lowercase: bool = True,
+                    **kw) -> "WordPieceTokenizer":
+        """Whole-word vocab built from a corpus (degenerate WordPiece: no
+        ## continuations, OOV -> [UNK]) — lets the fine-tune path run
+        standalone, with no pretrained vocab.txt asset."""
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for t in texts:
+            counts.update(_basic_split(str(t), lowercase))
+        specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        words = [w for w, _ in counts.most_common(max_vocab - len(specials))]
+        return cls(specials + words, lowercase=lowercase, **kw)
+
     def _split(self, text: str) -> list[str]:
-        if self.lowercase:
-            text = text.lower()
-        out, word = [], []
-        for ch in text:
-            if ch.isalnum() or ch == "'":
-                word.append(ch)
-            else:
-                if word:
-                    out.append("".join(word))
-                    word = []
-                if not ch.isspace():
-                    out.append(ch)
-        if word:
-            out.append("".join(word))
-        return out
+        return _basic_split(text, self.lowercase)
 
     def _wordpiece(self, word: str) -> list[int]:
         ids, start = [], 0

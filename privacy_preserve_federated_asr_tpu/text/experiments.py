@@ -220,10 +220,22 @@ def embed_experiment_parts(
 ) -> list[np.ndarray]:
     """Embed every input with its backend. A custom backend may return any
     width (the classifier sizes itself from the actual embeddings); the
-    offline fallback must match the reference encoder width."""
+    offline fallback must match the reference encoder width. Hashing is a
+    TEXT fallback — an AUDIO input (en/gr/multi/wv) hashed from its path
+    string is semantically void, so it warns loudly; wire the real conv-
+    frontend backend via ``run_experiment(audio_root=...)`` or a custom
+    ``backends`` entry (text/audio_backend.py)."""
+    import warnings
+
     parts = []
     for ispec, texts in zip(spec.inputs, data.inputs):
         custom = (backends or {}).get(ispec.backend)
+        if custom is None and ispec.backend not in TEXT_BACKENDS:
+            warnings.warn(
+                f"audio backend '{ispec.backend}' has no SSL backend wired "
+                "(no audio_root / backends entry): falling back to hashing "
+                "the path STRING, which carries no audio information",
+                stacklevel=2)
         fn = custom or hash_embed_backend(ispec.dim)
         emb = np.asarray(fn(texts), dtype=np.float32)
         assert emb.ndim == 2 and emb.shape[0] == len(texts), (
@@ -256,16 +268,41 @@ def run_experiment(
     tcfg: TextTrainerConfig | None = None,
     hidden_dim: int | None = None,
     seeds: Sequence[int] = (0,),
+    audio_root: str | None = None,
+    finetune: bool = False,
+    bert_cfg=None,
+    tokenizer=None,
+    encoder_params: Mapping | None = None,
+    ftcfg=None,
 ) -> dict:
     """Run one registry experiment end to end; returns test metrics.
 
     ``special`` handling: ``augment`` expands training sessions with
     SessionAugmenter; ``consistency`` repeats over ``seeds`` and reports
-    the accuracy spread; ``param_tuning`` grids lr x hidden;
-    ``extract_aug`` only materializes the augmented dataset.
+    the accuracy spread; ``param_tuning`` grids lr x hidden (lr only under
+    fine-tuning); ``extract_aug`` only materializes the augmented dataset.
+
+    ``audio_root``: resolve audio InputSpecs (en/gr/multi/wv) against this
+    directory and embed the actual WAVEFORMS through the frozen SSL conv
+    frontend (text/audio_backend.py) instead of the hash fallback.
+
+    ``finetune=True``: train the encoder INSIDE the graph — the
+    reference's real ``SingleForwardModel`` setup (AdamW over all params,
+    Dementia_challenge_models.py:312-313) via
+    :class:`~.finetune.FinetuneTextTrainer`. Text inputs back-prop into
+    (per-input) BERT towers; audio inputs enter as frozen features at the
+    head. ``tokenizer`` defaults to a corpus-built WordPiece vocab;
+    ``bert_cfg`` defaults to a tiny config unless ``encoder_params`` for a
+    ported checkpoint are supplied with a matching config.
     """
     spec = EXPERIMENTS[name]
     tcfg = tcfg or TextTrainerConfig(num_epochs=5, batch_size=4)
+
+    if audio_root is not None:
+        from .audio_backend import audio_backends_for
+
+        auto = audio_backends_for([i.backend for i in spec.inputs], audio_root)
+        backends = {**auto, **(backends or {})}
 
     if spec.special == "augment":
         from .augment import SessionAugmenter
@@ -283,6 +320,10 @@ def run_experiment(
     test = rows_to_experiment_data(spec, test_rows, summaries=summaries)
     if spec.special == "extract_aug":
         return {"n_train": len(train.labels), "n_test": len(test.labels)}
+
+    if finetune:
+        return _run_finetune(spec, train, test, backends, tcfg, seeds,
+                             bert_cfg, tokenizer, encoder_params, ftcfg)
 
     train_parts = embed_experiment_parts(spec, train, backends)
     test_parts = embed_experiment_parts(spec, test, backends)
@@ -311,6 +352,86 @@ def run_experiment(
         out["acc_spread"] = float(np.max(accs) - np.min(accs))
         out["acc_mean"] = float(np.mean(accs))
     return out
+
+
+def _run_finetune(spec, train, test, backends, tcfg, seeds, bert_cfg,
+                  tokenizer, encoder_params, ftcfg) -> dict:
+    """End-to-end mode of ``run_experiment``: text towers train in-graph
+    (reference AdamW(self.parameters())); audio inputs become frozen
+    ``extra`` features at the head."""
+    import dataclasses
+
+    from .bert import BertConfigT, WordPieceTokenizer
+    from .finetune import (
+        FinetuneConfig,
+        FinetuneTextTrainer,
+        FinetuneTrainerConfig,
+    )
+
+    text_ix = [i for i, s in enumerate(spec.inputs) if s.backend in TEXT_BACKENDS]
+    audio_ix = [i for i, s in enumerate(spec.inputs)
+                if s.backend not in TEXT_BACKENDS]
+    assert text_ix, f"{spec.name}: finetune needs at least one text input"
+    tr_texts = [train.inputs[i] for i in text_ix]
+    te_texts = [test.inputs[i] for i in text_ix]
+
+    def audio_extra(data):
+        if not audio_ix:
+            return None
+        sub = dataclasses.replace(
+            spec, inputs=tuple(spec.inputs[i] for i in audio_ix))
+        d = ExperimentData(inputs=[data.inputs[i] for i in audio_ix],
+                           labels=data.labels)
+        parts = embed_experiment_parts(sub, d, backends)
+        return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    tr_extra, te_extra = audio_extra(train), audio_extra(test)
+    if tokenizer is None:
+        tokenizer = WordPieceTokenizer.from_corpus(
+            [t for col in tr_texts for t in col])
+    if bert_cfg is None:
+        assert encoder_params is None, (
+            "encoder_params need the matching bert_cfg")
+        bert_cfg = BertConfigT.tiny_for_tests().replace(
+            vocab_size=max(len(tokenizer.vocab), 8))
+    fusion = spec.fusion if len(text_ix) >= 2 else "concat"
+    assert fusion in ("concat", "cross_attention"), fusion
+    cfg = FinetuneConfig(
+        bert=bert_cfg, num_text_inputs=len(text_ix),
+        extra_dim=0 if tr_extra is None else int(tr_extra.shape[1]),
+        regression=spec.task == "regression", fusion=fusion)
+    base_ft = ftcfg or FinetuneTrainerConfig(
+        num_epochs=tcfg.num_epochs, batch_size=tcfg.batch_size,
+        learning_rate=tcfg.learning_rate, lr_schedule=tcfg.lr_schedule,
+        seed=tcfg.seed)
+    ydt = np.float32 if cfg.regression else np.int32
+    y_tr, y_te = train.labels.astype(ydt), test.labels.astype(ydt)
+
+    def fit_once(seed, lr=None) -> dict:
+        t = dataclasses.replace(
+            base_ft, seed=seed, **({"learning_rate": lr} if lr else {}))
+        ftr = FinetuneTextTrainer(cfg, tokenizer, t)
+        ftr.fit(tr_texts, y_tr, extra=tr_extra,
+                val_texts_per_input=te_texts, val_labels=y_te,
+                val_extra=te_extra, encoder_params=encoder_params)
+        return ftr.evaluate(te_texts, y_te, te_extra)
+
+    if spec.special == "param_tuning":
+        best = None
+        for lr in (2e-5, 1e-4):   # reference grids lr; hidden is the encoder's
+            m = fit_once(base_ft.seed, lr=lr)
+            if best is None or m["acc"] > best["acc"]:
+                best = {**m, "lr": lr}
+        return {**best, "mode": "finetune"}
+
+    accs, out = [], {}
+    for seed in (seeds if spec.special == "consistency" else seeds[:1]):
+        out = fit_once(seed)
+        accs.append(out.get("acc", 0.0))
+    if spec.special == "consistency":
+        out["acc_spread"] = float(np.max(accs) - np.min(accs))
+        out["acc_mean"] = float(np.mean(accs))
+    return {**out, "mode": "finetune"}
 
 
 def _fit_once(spec, x_train, y_train, x_test, y_test, tcfg, hidden_dim,
