@@ -1201,8 +1201,27 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_persistent_compile_cache():
+    """Persistent XLA compile cache for every CLI entry: on remote-compile
+    TPU setups a cache-miss flagship program costs minutes; repeat
+    invocations (pipeline stages, sweep points, restarts) hit the disk
+    cache instead. No-op if the embedding process already configured one
+    (e.g. the test conftest's CPU cache)."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _enable_persistent_compile_cache()
     args.fn(args)
 
 

@@ -15,7 +15,7 @@ similarity embeddings Semb per 0207_DM_SessionLvlSimilarityEmb.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Mapping, Sequence
 
 import numpy as np
