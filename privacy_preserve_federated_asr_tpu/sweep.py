@@ -142,11 +142,24 @@ def sweep_text(
     for combo in _combos(grid):
         name = combo.get("experiment", "sentence_1input")
         overrides = {k: v for k, v in combo.items() if k in tcfg_fields}
-        unknown = set(combo) - tcfg_fields - {"experiment"}
+        # finetune=true sweeps the END-TO-END mode (encoder in the graph,
+        # the reference's actual training setup); max_length rides along
+        special = {"experiment", "finetune", "max_length"}
+        unknown = set(combo) - tcfg_fields - special
         if unknown:
             raise ValueError(f"unknown text sweep fields: {sorted(unknown)}")
         tcfg = TextTrainerConfig(seed=seed, **overrides)
-        metrics = run_experiment(name, train_rows, test_rows, tcfg=tcfg)
+        ft_kw = {}
+        if str(combo.get("finetune", "")).lower() in ("true", "1", "yes"):
+            from .text.finetune import FinetuneTrainerConfig
+
+            ft_kw = {"finetune": True, "ftcfg": FinetuneTrainerConfig(
+                num_epochs=tcfg.num_epochs, batch_size=tcfg.batch_size,
+                learning_rate=tcfg.learning_rate,
+                lr_schedule=tcfg.lr_schedule, seed=seed,
+                max_length=int(combo.get("max_length", 64)))}
+        metrics = run_experiment(name, train_rows, test_rows, tcfg=tcfg,
+                                 **ft_kw)
         row = {**combo, **{k: v for k, v in metrics.items()
                            if isinstance(v, (int, float, str))}}
         rows.append(row)

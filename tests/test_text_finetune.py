@@ -302,6 +302,26 @@ def test_cli_text_finetune(tmp_path, capsys):
     assert out["mode"] == "finetune" and out["experiment"] == "sentence_1input"
 
 
+def test_sweep_text_finetune_axis(tmp_path):
+    """`cli sweep text --grid finetune=true,...`: the end-to-end mode is
+    sweepable like any other axis (reference run_dementia_BERT.sh grids)."""
+    from privacy_preserve_federated_asr_tpu.sweep import sweep_text
+
+    rows = []
+    for i in range(12):
+        lab = i % 2
+        rows.append({"path": f"S{i:03d}_PAR_{i}_0.wav",
+                     "text": f"{'apple' if lab == 0 else 'banana'} tale",
+                     "pred_str": "x", "dementia_labels": lab})
+    csv = tmp_path / "sweep.csv"
+    out = sweep_text(
+        {"experiment": ["sentence_1input"], "finetune": ["true"],
+         "max_length": [12], "num_epochs": [1], "batch_size": [4]},
+        rows[:8], rows[8:], results_csv=str(csv))
+    assert len(out) == 1 and out[0]["mode"] == "finetune"
+    assert csv.exists() and "finetune" in csv.read_text().splitlines()[0]
+
+
 def _write_wavs(tmp_path, specs):
     """specs: {stem: hz} -> writes 16 kHz mono PCM16 sine wavs."""
     from scipy.io import wavfile
