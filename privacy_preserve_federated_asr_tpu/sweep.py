@@ -153,11 +153,21 @@ def sweep_text(
         if str(combo.get("finetune", "")).lower() in ("true", "1", "yes"):
             from .text.finetune import FinetuneTrainerConfig
 
+            # carry EVERY TextTrainerConfig override into the finetune
+            # config (the two dataclasses share these field names) — a
+            # dropped weight_decay/patience axis would silently sweep
+            # nothing
             ft_kw = {"finetune": True, "ftcfg": FinetuneTrainerConfig(
                 num_epochs=tcfg.num_epochs, batch_size=tcfg.batch_size,
                 learning_rate=tcfg.learning_rate,
                 lr_schedule=tcfg.lr_schedule, seed=seed,
+                weight_decay=tcfg.weight_decay,
+                early_stopping_patience=tcfg.early_stopping_patience,
                 max_length=int(combo.get("max_length", 64)))}
+        elif "max_length" in combo:
+            raise ValueError(
+                "max_length only applies with finetune=true (the frozen "
+                "path embeds full documents, no token window)")
         metrics = run_experiment(name, train_rows, test_rows, tcfg=tcfg,
                                  **ft_kw)
         row = {**combo, **{k: v for k, v in metrics.items()

@@ -389,11 +389,16 @@ def _run_finetune(spec, train, test, backends, tcfg, seeds, bert_cfg,
     if tokenizer is None:
         tokenizer = WordPieceTokenizer.from_corpus(
             [t for col in tr_texts for t in col])
+    base_ft_len = (ftcfg.max_length if ftcfg is not None
+                   else FinetuneTrainerConfig().max_length)
     if bert_cfg is None:
         assert encoder_params is None, (
             "encoder_params need the matching bert_cfg")
+        # position table must cover max_length — out-of-range nn.Embed
+        # lookups return NaN rows, which silently poison every logit
         bert_cfg = BertConfigT.tiny_for_tests().replace(
-            vocab_size=max(len(tokenizer.vocab), 8))
+            vocab_size=max(len(tokenizer.vocab), 8),
+            max_position_embeddings=max(64, base_ft_len))
     fusion = spec.fusion if len(text_ix) >= 2 else "concat"
     assert fusion in ("concat", "cross_attention"), fusion
     cfg = FinetuneConfig(

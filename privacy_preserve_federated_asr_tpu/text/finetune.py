@@ -137,6 +137,10 @@ class FinetuneTextTrainer:
         self.model = FinetuneTextModel(cfg)
         self.params = None
         self.best_params = None
+        assert self.tcfg.max_length <= cfg.bert.max_position_embeddings, (
+            f"max_length={self.tcfg.max_length} exceeds the encoder's "
+            f"max_position_embeddings={cfg.bert.max_position_embeddings} — "
+            "out-of-range position lookups produce NaN embeddings")
         self._mesh = None
         if self.tcfg.dp > 1:
             from jax.sharding import Mesh
@@ -225,11 +229,18 @@ class FinetuneTextTrainer:
             val_extra: np.ndarray | None = None,
             encoder_params: dict | None = None) -> dict:
         t, c = self.tcfg, self.cfg
-        assert t.batch_size % t.dp == 0, "batch_size must divide dp"
+        assert t.batch_size % t.dp == 0, "dp must divide batch_size"
         rng = jax.random.PRNGKey(t.seed)
         if self.params is None:
             self.init_params(rng, encoder_params)
+        elif encoder_params is not None:
+            raise ValueError(
+                "params are already initialized; grafting encoder_params "
+                "now would be ignored — pass them to init_params() or use "
+                "a fresh trainer")
         ids, mask = self.tokenize(texts_per_input)
+        val_tok = (self.tokenize(val_texts_per_input)
+                   if val_labels is not None else None)
         labels = np.asarray(labels)
         steps_per_epoch = max(len(labels) // t.batch_size, 1)
         tx = optax.adamw(self._schedule(steps_per_epoch),
@@ -237,19 +248,9 @@ class FinetuneTextTrainer:
         self.params = self._replicate(self.params)
         opt_state = self._replicate(tx.init(self.params))
 
-        def loss_fn(params, bids, bmask, bextra, yb, drng):
-            logits = self.model.apply(
-                {"params": params}, bids, bmask, bextra,
-                deterministic=False, rngs={"dropout": drng})
-            if c.regression:
-                return jnp.mean((logits[:, 0] - yb) ** 2)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(jnp.take_along_axis(
-                logp, yb[:, None].astype(jnp.int32), 1))
-
         @jax.jit
         def step(params, opt_state, bids, bmask, bextra, yb, drng):
-            loss, grads = jax.value_and_grad(loss_fn)(
+            loss, grads = jax.value_and_grad(self._loss)(
                 params, bids, bmask, bextra, yb, drng)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
@@ -275,7 +276,7 @@ class FinetuneTextTrainer:
             row = {"epoch": epoch,
                    "train_loss": float(np.mean(losses)) if losses else 0.0}
             if val_labels is not None:
-                val = self.evaluate(val_texts_per_input, val_labels, val_extra)
+                val = self._evaluate_tokenized(val_tok, val_labels, val_extra)
                 row.update({f"val_{k}": v for k, v in val.items()})
                 metric = -val["mse"] if c.regression else val["acc"]
                 if metric > best_metric:
@@ -293,9 +294,16 @@ class FinetuneTextTrainer:
 
     def predict(self, texts_per_input, extra: np.ndarray | None = None
                 ) -> np.ndarray:
-        ids, mask = self.tokenize(texts_per_input)
+        return self._predict_tokenized(self.tokenize(texts_per_input), extra)
+
+    def _predict_tokenized(self, tok_pair, extra: np.ndarray | None
+                           ) -> np.ndarray:
+        ids, mask = tok_pair
         out = []
         b = self.tcfg.batch_size
+        # one param fetch per call, not per chunk (sharded params live on
+        # the mesh; the eval program runs unsharded on the default device)
+        params = jax.device_get(self.params) if self._mesh else self.params
         for i in range(0, len(ids), b):
             bids, bmask = ids[i : i + b], mask[i : i + b]
             pad = b - len(bids)   # static batch: one program for every chunk
@@ -309,8 +317,7 @@ class FinetuneTextTrainer:
                     be = np.concatenate([be, np.repeat(be[-1:], pad, 0)])
                 bextra = jnp.asarray(be, jnp.float32)
             logits = self._apply_jit(
-                jax.device_get(self.params) if self._mesh else self.params,
-                jnp.asarray(bids), jnp.asarray(bmask), bextra)
+                params, jnp.asarray(bids), jnp.asarray(bmask), bextra)
             out.append(np.asarray(logits)[: b - pad if pad else b])
         logits = np.concatenate(out, axis=0)
         if self.cfg.regression:
@@ -326,11 +333,28 @@ class FinetuneTextTrainer:
 
     def evaluate(self, texts_per_input, labels,
                  extra: np.ndarray | None = None) -> dict:
-        pred = self.predict(texts_per_input, extra)
+        return self._evaluate_tokenized(
+            self.tokenize(texts_per_input), labels, extra)
+
+    def _evaluate_tokenized(self, tok_pair, labels,
+                            extra: np.ndarray | None = None) -> dict:
+        pred = self._predict_tokenized(tok_pair, extra)
         y = np.asarray(labels)
         if self.cfg.regression:
             return {"mse": float(np.mean((pred - y) ** 2))}
         return {"acc": float(np.mean(pred == y))}
+
+    def _loss(self, params, bids, bmask, bextra, yb, drng):
+        """Training objective (shared by fit() and loss_and_grads —
+        the dp-parity probe must differentiate the SAME function)."""
+        logits = self.model.apply(
+            {"params": params}, bids, bmask, bextra,
+            deterministic=False, rngs={"dropout": drng})
+        if self.cfg.regression:
+            return jnp.mean((logits[:, 0] - yb) ** 2)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(
+            logp, yb[:, None].astype(jnp.int32), 1))
 
     def loss_and_grads(self, texts_per_input, labels,
                        extra: np.ndarray | None = None,
@@ -345,20 +369,9 @@ class FinetuneTextTrainer:
         ids, mask = self.tokenize(texts_per_input)
         y = np.asarray(labels).astype(
             np.float32 if c.regression else np.int32)
-
-        def loss_fn(params, bids, bmask, bextra, yb, drng):
-            logits = self.model.apply(
-                {"params": params}, bids, bmask, bextra,
-                deterministic=False, rngs={"dropout": drng})
-            if c.regression:
-                return jnp.mean((logits[:, 0] - yb) ** 2)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(jnp.take_along_axis(
-                logp, yb[:, None].astype(jnp.int32), 1))
-
         bextra = (self._shard(jnp.asarray(extra, jnp.float32))
                   if extra is not None else None)
-        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(
+        loss, grads = jax.jit(jax.value_and_grad(self._loss))(
             self._replicate(self.params),
             self._shard(jnp.asarray(ids)), self._shard(jnp.asarray(mask)),
             bextra, self._shard(jnp.asarray(y)),

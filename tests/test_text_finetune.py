@@ -302,6 +302,36 @@ def test_cli_text_finetune(tmp_path, capsys):
     assert out["mode"] == "finetune" and out["experiment"] == "sentence_1input"
 
 
+def test_max_length_beyond_position_table_fails_loud_or_scales():
+    """Out-of-range nn.Embed position lookups return NaN rows that
+    silently poison every logit (code-review r5 finding #1): the trainer
+    must refuse max_length > max_position_embeddings up front, and the
+    registry's default tiny config must scale its position table to the
+    requested max_length instead."""
+    from privacy_preserve_federated_asr_tpu.text import run_experiment
+    from privacy_preserve_federated_asr_tpu.text.finetune import (
+        FinetuneTrainerConfig,
+    )
+
+    texts = [f"word{i} alpha" for i in range(8)]
+    tok = WordPieceTokenizer.from_corpus(texts)
+    cfg = FinetuneConfig(bert=BertConfigT.tiny_for_tests().replace(
+        vocab_size=len(tok.vocab)))   # position table = 64
+    with pytest.raises(AssertionError, match="max_position_embeddings"):
+        FinetuneTextTrainer(cfg, tok, FinetuneTrainerConfig(max_length=128))
+
+    rows = [{"path": f"S{i:03d}_PAR_{i}_0.wav",
+             "text": f"{'apple' if i % 2 == 0 else 'banana'} tale",
+             "pred_str": "x", "dementia_labels": i % 2} for i in range(12)]
+    out = run_experiment(
+        "sentence_1input", rows[:8], rows[8:], finetune=True,
+        ftcfg=FinetuneTrainerConfig(num_epochs=1, batch_size=4,
+                                    learning_rate=1e-3, max_length=128))
+    # if the registry didn't scale the position table, the trainer's
+    # up-front assert above would have fired inside run_experiment
+    assert out["mode"] == "finetune" and 0.0 <= out["acc"] <= 1.0
+
+
 def test_sweep_text_finetune_axis(tmp_path):
     """`cli sweep text --grid finetune=true,...`: the end-to-end mode is
     sweepable like any other axis (reference run_dementia_BERT.sh grids)."""
