@@ -6,7 +6,14 @@ serving layer at all). Endpoints:
 * ``GET /healthz`` -> ``{"ok": true, "requests": N}``
 * ``POST /asr`` with either
   - JSON body ``{"audio": [floats], "sample_rate": 16000}``, or
-  - a RIFF/WAV body (``Content-Type: audio/wav``), PCM16/PCM32/float32
+  - a RIFF/WAV body (``Content-Type: audio/wav``), PCM16/PCM32/float32, or
+  - raw samples (``Content-Type: application/octet-stream``) —
+    little-endian float32 by default; ``X-Audio-Format: s16`` for PCM16
+    (scaled by 1/32768) and ``X-Sample-Rate`` for non-16k input. The
+    binary path exists because JSON float lists dominate request cost
+    under concurrent streaming on a small front-end host (PERF.md §6
+    httpload): a 0.5 s chunk is 32 kB binary vs ~150 kB of JSON text
+    that must be parsed float-by-float.
   -> ``{"transcript": ..., "ad_pred": 0|1, "ad_prob": p, "frames": n}``
 * streaming (serving/streaming.py block-streaming sessions):
   - ``POST /stream/start`` -> ``{"session": id}``
@@ -146,6 +153,18 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             ctype = (self.headers.get("Content-Type") or "").lower()
             if body[:4] == b"RIFF" or "audio/wav" in ctype:
                 return _decode_wav(body)
+            if "octet-stream" in ctype:
+                fmt = (self.headers.get("X-Audio-Format") or "f32").lower()
+                sr = int(self.headers.get("X-Sample-Rate", 16000))
+                if fmt == "s16":
+                    data = np.frombuffer(body, dtype="<i2").astype(
+                        np.float32) / 32768.0
+                elif fmt == "f32":
+                    data = np.frombuffer(body, dtype="<f4").astype(np.float32)
+                else:
+                    raise ValueError(f"unknown X-Audio-Format {fmt!r} "
+                                     "(want f32 or s16)")
+                return _resample_to_16k(data, sr)
             obj = json.loads(body)
             return _resample_to_16k(
                 np.asarray(obj["audio"], np.float32),

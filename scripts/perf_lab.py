@@ -390,7 +390,7 @@ def bench_hub_ab(n_sessions=8, total_seconds=6.0, chunk_seconds=0.5,
 
 
 def bench_http_load(n_clients=8, total_seconds=3.0, chunk_seconds=0.5,
-                    stage=2, compute_dtype="bfloat16"):
+                    stage=2, compute_dtype="bfloat16", binary=False):
     """N genuinely concurrent HTTP clients streaming against the real
     front-end (serving/server.py), hub vs standalone-only: per-feed
     latency percentiles and fleet wall time. The hub serializes members
@@ -429,20 +429,25 @@ def bench_http_load(n_clients=8, total_seconds=3.0, chunk_seconds=0.5,
         lat: list[float] = []
         lat_lock = threading.Lock()
 
-        def post(path, body=b"{}"):
+        ctype = ("application/octet-stream" if binary
+                 else "application/json")
+
+        def post(path, body=b"{}", raw=False):
             req = urllib.request.Request(
                 f"http://127.0.0.1:{port}{path}", data=body,
-                headers={"Content-Type": "application/json"}, method="POST")
+                headers={"Content-Type": ctype if raw
+                         else "application/json"}, method="POST")
             with urllib.request.urlopen(req, timeout=120) as r:
                 return json.loads(r.read())
 
         def client(k):
             sid = post("/stream/start")["session"]
             for i in range(0, len(audios[k]), chunk):
-                body = json.dumps(
-                    {"audio": audios[k][i : i + chunk].tolist()}).encode()
+                piece = audios[k][i : i + chunk]
+                body = (piece.astype("<f4").tobytes() if binary else
+                        json.dumps({"audio": piece.tolist()}).encode())
                 t0 = time.perf_counter()
-                post(f"/stream/{sid}", body)
+                post(f"/stream/{sid}", body, raw=True)
                 dt = time.perf_counter() - t0
                 with lat_lock:
                     lat.append(dt)
@@ -473,7 +478,8 @@ def bench_http_load(n_clients=8, total_seconds=3.0, chunk_seconds=0.5,
         print(json.dumps({
             "config": (f"httpload N={n_clients} {total_seconds}s/"
                        f"{chunk_seconds}s-chunks st={stage} {compute_dtype} "
-                       f"hub={use_hub}"), **out}), flush=True)
+                       f"hub={use_hub} binary={binary}"), **out}),
+            flush=True)
     eng.stop()
 
 
@@ -552,7 +558,8 @@ def main():
         bench_http_load(
             n_clients=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
             total_seconds=float(sys.argv[3]) if len(sys.argv) > 3 else 3.0,
-            compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16")
+            compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16",
+            binary="binary" in sys.argv)
     elif mode == "posconv":
         bench_posconv()
     elif mode == "int8mm":

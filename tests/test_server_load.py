@@ -173,6 +173,67 @@ def test_session_cap_and_hub_full_fallback(monkeypatch):
         eng.stop()
 
 
+def test_binary_audio_transport_matches_json():
+    """`application/octet-stream` bodies (raw f32 / s16 PCM) must decode
+    to the same results as the JSON float-list path — the binary path is
+    the fix for JSON parse cost dominating concurrent streaming on a
+    small front-end host (PERF.md §6 httpload)."""
+    eng = _engine()
+    eng.start()
+    scfg = StreamingConfig(right_context_seconds=0.2,
+                           min_hop_seconds=CHUNK / 16000)
+    srv, port = _serve(eng, scfg)
+
+    def post_raw(path, body, headers):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=body,
+            headers=headers, method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    wave = _wave(2 * CHUNK, seed=31)
+    try:
+        want = _post(port, "/asr", {"audio": wave.tolist()})
+        got_f32 = post_raw("/asr", wave.astype("<f4").tobytes(),
+                           {"Content-Type": "application/octet-stream"})
+        assert got_f32["transcript"] == want["transcript"]
+        np.testing.assert_allclose(got_f32["ad_prob"], want["ad_prob"],
+                                   rtol=1e-6)
+
+        # s16: quantized input, same pipeline (engine normalization makes
+        # the 1/32768 scale nearly invisible; transcripts agree)
+        s16 = (np.clip(wave, -1, 1) * 32767).astype("<i2")
+        got_s16 = post_raw("/asr", s16.tobytes(),
+                           {"Content-Type": "application/octet-stream",
+                            "X-Audio-Format": "s16"})
+        assert got_s16["transcript"] == want["transcript"]
+
+        # streaming feeds ride the same decoder
+        sid = _post(port, "/stream/start")["session"]
+        sid2 = _post(port, "/stream/start")["session"]
+        for i in range(0, len(wave), CHUNK):
+            rb = post_raw(f"/stream/{sid}",
+                          wave[i : i + CHUNK].astype("<f4").tobytes(),
+                          {"Content-Type": "application/octet-stream"})
+            rj = _post(port, f"/stream/{sid2}",
+                       {"audio": wave[i : i + CHUNK].tolist()})
+        fb = _post(port, f"/stream/{sid}/finish")
+        fj = _post(port, f"/stream/{sid2}/finish")
+        assert fb["final_transcript"] == fj["final_transcript"]
+        assert fb["total_frames"] == fj["total_frames"]
+
+        # unknown format -> 400, not a crash
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post_raw("/asr", wave.astype("<f4").tobytes(),
+                     {"Content-Type": "application/octet-stream",
+                      "X-Audio-Format": "f64"})
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        eng.stop()
+
+
 def test_reaper_races_live_feeds():
     """A near-zero idle TTL with concurrent feeders: sessions actively
     feeding must never be reaped mid-request (the table-lock touch/
