@@ -448,7 +448,7 @@ def cmd_serve(args):
                       lm_beta=args.lm_beta, transport=args.transport),
         lm_fn=lm_fn)
     serve_forever(engine, host=args.host, port=args.port,
-                  warmup=not args.no_warmup)
+                  warmup=not args.no_warmup, use_hub=not args.no_hub)
 
 
 def cmd_stream_report(args):
@@ -1047,6 +1047,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host->device waveform encoding; int16 halves the "
                         "batch upload bytes (dequant + normalization move "
                         "on-device; PERF.md §6)")
+    p.add_argument("--no_hub", action="store_true",
+                   help="standalone streaming sessions instead of the "
+                        "shared StreamingHub: better per-feed tail latency "
+                        "when the chip is idle; the hub minimizes DEVICE "
+                        "passes under contention (PERF.md §6 httpload)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser(

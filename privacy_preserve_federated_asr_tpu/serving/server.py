@@ -253,8 +253,14 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
 
 def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
                   port: int = 8008, warmup: bool = True,
-                  stream_cfg: StreamingConfig | None = None) -> None:
-    """Start the dispatcher, optionally precompile every bucket, serve."""
+                  stream_cfg: StreamingConfig | None = None,
+                  use_hub: bool = True) -> None:
+    """Start the dispatcher, optionally precompile every bucket, serve.
+
+    ``use_hub=False`` gives every stream a standalone resident session:
+    measured better tail latency when the chip is otherwise idle, while
+    the hub minimizes DEVICE passes under contention (PERF.md §6
+    httpload)."""
     engine.start()
     if warmup:
         n = engine.warmup()
@@ -264,9 +270,10 @@ def serve_forever(engine: InferenceEngine, host: str = "127.0.0.1",
         # (under the hub lock, stalling the whole fleet)
         scfg = stream_cfg if stream_cfg is not None else StreamingConfig()
         if scfg.resident:
-            n += engine.warmup_streaming(hub=True)
+            n += engine.warmup_streaming(hub=use_hub)
         print(f"[serve] warmed {n} bucket programs")
-    srv = make_server(engine, host, port, stream_cfg=stream_cfg)
+    srv = make_server(engine, host, port, stream_cfg=stream_cfg,
+                      use_hub=use_hub)
     print(f"[serve] listening on http://{host}:{port} "
           f"(POST /asr, GET /healthz)")
     try:

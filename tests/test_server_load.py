@@ -173,6 +173,32 @@ def test_session_cap_and_hub_full_fallback(monkeypatch):
         eng.stop()
 
 
+def test_no_hub_server_streams_standalone():
+    """`cli serve --no_hub` (make_server(use_hub=False)): every stream is
+    a standalone resident session; results match the hub server's."""
+    eng = _engine(batch_size=2)
+    eng.start()
+    scfg = StreamingConfig(right_context_seconds=0.2,
+                           min_hop_seconds=CHUNK / 16000)
+    srv, port = _serve(eng, scfg, use_hub=False)
+    wave = _wave(2 * CHUNK, seed=17)
+    try:
+        sid = _post(port, "/stream/start")["session"]
+        for i in range(0, len(wave), CHUNK):
+            _post(port, f"/stream/{sid}", {"audio": wave[i : i + CHUNK].tolist()})
+        got = _post(port, f"/stream/{sid}/finish")
+        ref = StreamingSession(eng, scfg)
+        for i in range(0, len(wave), CHUNK):
+            ref.feed(wave[i : i + CHUNK])
+        want = ref.finish()
+        assert got["final_transcript"] == want.final_transcript
+        assert got["total_frames"] == want.total_frames
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        eng.stop()
+
+
 def test_binary_audio_transport_matches_json():
     """`application/octet-stream` bodies (raw f32 / s16 PCM) must decode
     to the same results as the JSON float-list path — the binary path is
