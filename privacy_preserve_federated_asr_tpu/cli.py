@@ -451,6 +451,48 @@ def cmd_serve(args):
                   warmup=not args.no_warmup, use_hub=not args.no_hub)
 
 
+def cmd_stream_client(args):
+    """Reference streaming client for the HTTP server: chunk a WAV (or
+    synthetic audio) and feed it to ``/stream/*`` with the binary PCM
+    transport (PERF.md §6 — 3.4x fleet throughput vs JSON), printing each
+    partial and the final result as JSON lines."""
+    import urllib.request
+
+    import numpy as np
+
+    from .data.audio import load_audio
+
+    if args.audio:
+        wave = load_audio(args.audio, target_sr=16000,
+                          normalize=False).astype(np.float32)
+    else:  # synthetic smoke input
+        wave = np.random.default_rng(args.seed).normal(
+            0, 0.3, size=int(args.synthetic_seconds * 16000)).astype(np.float32)
+    chunk = max(int(args.chunk_seconds * 16000), 1)
+    base = f"http://{args.host}:{args.port}"
+
+    def post(path, body=b"{}", binary=False):
+        req = urllib.request.Request(
+            base + path, data=body,
+            headers={"Content-Type": "application/octet-stream" if binary
+                     else "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=args.timeout) as r:
+            return json.loads(r.read())
+
+    sid = post("/stream/start")["session"]
+    for i in range(0, len(wave), chunk):
+        piece = wave[i : i + chunk]
+        if args.json_transport:
+            body, binary = json.dumps({"audio": piece.tolist()}).encode(), False
+        else:
+            body, binary = piece.astype("<f4").tobytes(), True
+        r = post(f"/stream/{sid}", body, binary=binary)
+        print(json.dumps({"partial": r["transcript"],
+                          "final_frames": r["final_frames"],
+                          "total_frames": r["total_frames"]}), flush=True)
+    print(json.dumps(post(f"/stream/{sid}/finish")), flush=True)
+
+
 def cmd_stream_report(args):
     """Measure streaming finalization stability on real audio so the
     deployment can choose ``right_context_seconds`` from data (the flip
@@ -1053,6 +1095,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "when the chip is idle; the hub minimizes DEVICE "
                         "passes under contention (PERF.md §6 httpload)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser(
+        "stream-client",
+        help="stream a WAV to a running `serve` instance over the binary "
+             "PCM transport, printing partials")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--audio", default=None,
+                   help="WAV path (any rate; resampled to 16 kHz); "
+                        "omitted = synthetic noise smoke input")
+    p.add_argument("--chunk_seconds", type=float, default=0.5)
+    p.add_argument("--synthetic_seconds", type=float, default=3.0)
+    p.add_argument("--json_transport", action="store_true",
+                   help="use the JSON float-list body instead of binary "
+                        "PCM (debugging; ~3x slower under load)")
+    p.add_argument("--timeout", type=float, default=120.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_stream_client)
 
     p = sub.add_parser(
         "stream-report",

@@ -260,6 +260,41 @@ def test_binary_audio_transport_matches_json():
         eng.stop()
 
 
+def test_cli_stream_client_roundtrip(capsys):
+    """`cli stream-client` against a live server: binary-transport partials
+    plus a final result, matching a direct session."""
+    from privacy_preserve_federated_asr_tpu.cli import main
+
+    eng = _engine()
+    eng.start()
+    scfg = StreamingConfig(right_context_seconds=0.2,
+                           min_hop_seconds=CHUNK / 16000)
+    srv, port = _serve(eng, scfg)
+    try:
+        main(["stream-client", "--port", str(port),
+              "--chunk_seconds", str(CHUNK / 16000),
+              "--synthetic_seconds", str(3 * CHUNK / 16000), "--seed", "3"])
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 4           # 3 partials + final
+        assert all("partial" in l for l in lines[:-1])
+        fin = lines[-1]
+        assert fin["is_final"]
+
+        wave = np.random.default_rng(3).normal(
+            0, 0.3, size=3 * CHUNK).astype(np.float32)
+        ref = StreamingSession(eng, scfg)
+        for i in range(0, len(wave), CHUNK):
+            ref.feed(wave[i : i + CHUNK])
+        want = ref.finish()
+        assert fin["final_transcript"] == want.final_transcript
+        assert fin["total_frames"] == want.total_frames
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        eng.stop()
+
+
 def test_reaper_races_live_feeds():
     """A near-zero idle TTL with concurrent feeders: sessions actively
     feeding must never be reaped mid-request (the table-lock touch/
