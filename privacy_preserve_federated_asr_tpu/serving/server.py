@@ -62,7 +62,10 @@ def _decode_wav(body: bytes) -> np.ndarray:
     if data.ndim > 1:  # downmix channels
         data = data.mean(axis=1)
     if np.issubdtype(data.dtype, np.integer):
-        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+        # scale by 2^(bits-1) (=-iinfo.min), matching the octet-stream s16
+        # path — the same PCM content must decode identically on every
+        # transport (power-of-two scale is also exact in float32)
+        data = data.astype(np.float32) / float(-np.iinfo(data.dtype).min)
     else:
         data = data.astype(np.float32)
     return _resample_to_16k(data, sr)
@@ -151,7 +154,12 @@ def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             ctype = (self.headers.get("Content-Type") or "").lower()
-            if body[:4] == b"RIFF" or "audio/wav" in ctype:
+            # an explicit octet-stream declaration wins over content
+            # sniffing: raw PCM can legitimately start with b"RIFF"
+            # (samples 18770, 17990), and routing it to the WAV parser
+            # would 400 a well-formed chunk mid-stream
+            if "octet-stream" not in ctype and (
+                    body[:4] == b"RIFF" or "audio/wav" in ctype):
                 return _decode_wav(body)
             if "octet-stream" in ctype:
                 fmt = (self.headers.get("X-Audio-Format") or "f32").lower()

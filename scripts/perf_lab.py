@@ -555,10 +555,13 @@ def main():
             chunk_seconds=float(sys.argv[3]) if len(sys.argv) > 3 else 0.5,
             compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16")
     elif mode == "httpload":
+        # `binary` may appear at any position: strip it before the
+        # positional [n_clients] [total_seconds] [dtype] parse
+        rest = [a for a in sys.argv[2:] if a != "binary"]
         bench_http_load(
-            n_clients=int(sys.argv[2]) if len(sys.argv) > 2 else 8,
-            total_seconds=float(sys.argv[3]) if len(sys.argv) > 3 else 3.0,
-            compute_dtype=sys.argv[4] if len(sys.argv) > 4 else "bfloat16",
+            n_clients=int(rest[0]) if len(rest) > 0 else 8,
+            total_seconds=float(rest[1]) if len(rest) > 1 else 3.0,
+            compute_dtype=rest[2] if len(rest) > 2 else "bfloat16",
             binary="binary" in sys.argv)
     elif mode == "posconv":
         bench_posconv()

@@ -210,12 +210,15 @@ def test_binary_audio_transport_matches_json():
                            min_hop_seconds=CHUNK / 16000)
     srv, port = _serve(eng, scfg)
 
-    def post_raw(path, body, headers):
+    def post_raw2(p, path, body, headers):
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}{path}", data=body,
+            f"http://127.0.0.1:{p}{path}", data=body,
             headers=headers, method="POST")
         with urllib.request.urlopen(req, timeout=60) as resp:
             return json.loads(resp.read())
+
+    def post_raw(path, body, headers):
+        return post_raw2(port, path, body, headers)
 
     wave = _wave(2 * CHUNK, seed=31)
     try:
@@ -234,19 +237,42 @@ def test_binary_audio_transport_matches_json():
                             "X-Audio-Format": "s16"})
         assert got_s16["transcript"] == want["transcript"]
 
-        # streaming feeds ride the same decoder
-        sid = _post(port, "/stream/start")["session"]
-        sid2 = _post(port, "/stream/start")["session"]
-        for i in range(0, len(wave), CHUNK):
-            rb = post_raw(f"/stream/{sid}",
-                          wave[i : i + CHUNK].astype("<f4").tobytes(),
-                          {"Content-Type": "application/octet-stream"})
-            rj = _post(port, f"/stream/{sid2}",
-                       {"audio": wave[i : i + CHUNK].tolist()})
-        fb = _post(port, f"/stream/{sid}/finish")
-        fj = _post(port, f"/stream/{sid2}/finish")
-        assert fb["final_transcript"] == fj["final_transcript"]
-        assert fb["total_frames"] == fj["total_frames"]
+        # streaming feeds ride the same decoder. Use a NO-HUB server for
+        # the per-chunk comparison: hub members' hops coalesce, so two
+        # members fed sequentially see phase-shifted partials by design —
+        # only standalone sessions advance deterministically per feed.
+        srv2, port2 = _serve(eng, scfg, use_hub=False)
+        try:
+            sid = _post(port2, "/stream/start")["session"]
+            sid2 = _post(port2, "/stream/start")["session"]
+            for i in range(0, len(wave), CHUNK):
+                rb = post_raw2(port2, f"/stream/{sid}",
+                               wave[i : i + CHUNK].astype("<f4").tobytes(),
+                               {"Content-Type": "application/octet-stream"})
+                rj = _post(port2, f"/stream/{sid2}",
+                           {"audio": wave[i : i + CHUNK].tolist()})
+                # partials match chunk-by-chunk, not just the final decode
+                assert rb["transcript"] == rj["transcript"], i
+                assert rb["total_frames"] == rj["total_frames"], i
+            fb = _post(port2, f"/stream/{sid}/finish")
+            fj = _post(port2, f"/stream/{sid2}/finish")
+            assert fb["final_transcript"] == fj["final_transcript"]
+            assert fb["total_frames"] == fj["total_frames"]
+        finally:
+            srv2.shutdown()
+            srv2.server_close()
+
+        # raw PCM that happens to start with the bytes "RIFF" (samples
+        # 18770, 17990) must NOT be sniffed as WAV when the Content-Type
+        # explicitly says octet-stream (code-review finding)
+        tricky = np.concatenate([np.asarray([18770, 17990], "<i2"),
+                                 (np.clip(wave[:CHUNK], -1, 1)
+                                  * 32767).astype("<i2")])
+        assert tricky.tobytes()[:4] == b"RIFF"
+        r = post_raw("/asr", tricky.tobytes(),
+                     {"Content-Type": "application/octet-stream",
+                      "X-Audio-Format": "s16"})
+        assert "transcript" in r and r["samples"] == len(tricky)
 
         # unknown format -> 400, not a crash
         with pytest.raises(urllib.error.HTTPError) as ei:
