@@ -357,6 +357,7 @@ def cmd_federated(args):
         cache_encoder=False if args.no_cache_encoder else None,
         dp_clip_norm=args.dp_clip_norm,
         dp_noise_multiplier=args.dp_noise_multiplier,
+        dp_delta=args.dp_delta,
         compress_bits=args.compress_bits,
         secagg_clip_norm=args.secagg_clip_norm,
         secagg_bits=args.secagg_bits,
@@ -821,6 +822,29 @@ def cmd_feat_scoring(args):
     print(json.dumps({k: float(np.mean(v)) for k, v in {**stats, **rates}.items()}))
 
 
+def cmd_dp_budget(args):
+    """Plan a DP-FedAvg run's privacy budget before spending any compute:
+    epsilon after each stage's rounds for the given sampling fraction and
+    noise multiplier (federated/privacy.py RDP accountant — the same math
+    the engine logs as dp_epsilon during a run)."""
+    from .federated.privacy import DpAccountant
+
+    k = args.num_users
+    q = max(int(args.frac * k), 1) / k
+    acc = DpAccountant(delta=args.delta)
+    trace = []
+    for rnd in range(1, args.rounds + 1):
+        acc.step(q, args.noise_multiplier)
+        if rnd % max(args.report_every, 1) == 0 or rnd == args.rounds:
+            trace.append({"round": rnd, "epsilon": round(acc.epsilon(), 4)})
+    print(json.dumps({
+        "num_users": k, "frac": args.frac, "q": round(q, 6),
+        "noise_multiplier": args.noise_multiplier, "delta": args.delta,
+        "rounds": args.rounds, "epsilon": round(acc.epsilon(), 4),
+        "trace": trace,
+    }))
+
+
 def cmd_pkl2csv(args):
     """Extraction pkl -> CSV with the text columns (reference:
     centralized/utils/PKL2csv.py — path/text/dementia_labels/pred_str
@@ -1029,6 +1053,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "with --dp_clip_norm")
     p.add_argument("--dp_noise_multiplier", type=float, default=0.0,
                    help="DP-FedAvg: Gaussian noise std = clip * this / K")
+    p.add_argument("--dp_delta", type=float, default=1e-5,
+                   help="delta for the reported (epsilon, delta) guarantee "
+                        "(federated/privacy.py RDP accountant; the round "
+                        "log carries a running dp_epsilon column)")
     p.add_argument("--secagg_clip_norm", type=float, default=None,
                    help="secure aggregation (Bonawitz et al. 2017): L2-clip "
                         "each client's round delta to this norm, quantize "
@@ -1263,6 +1291,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pkl", required=True)
     p.add_argument("--out_dir", default="./saves/results/FSM_info")
     p.set_defaults(fn=cmd_feat_scoring)
+
+    p = sub.add_parser("dp-budget",
+                       help="plan DP-FedAvg (epsilon, delta) before a run "
+                            "(RDP accountant, no compute)")
+    p.add_argument("--rounds", type=int, required=True,
+                   help="total noised FedAvg rounds (sum over stages)")
+    p.add_argument("--num_users", type=int, default=54)
+    p.add_argument("--frac", type=float, default=1.0)
+    p.add_argument("--noise_multiplier", type=float, required=True)
+    p.add_argument("--delta", type=float, default=1e-5)
+    p.add_argument("--report_every", type=int, default=1,
+                   help="trace granularity in rounds")
+    p.set_defaults(fn=cmd_dp_budget)
     return parser
 
 

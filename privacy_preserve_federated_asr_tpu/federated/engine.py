@@ -152,6 +152,10 @@ class FederatedConfig:
     # Unweighted aggregation only (uniform-contribution DP accounting).
     dp_clip_norm: float | None = None
     dp_noise_multiplier: float = 0.0
+    # delta for the reported (epsilon, delta) guarantee (federated/privacy
+    # RDP accountant); only read when DP-FedAvg is on. Rule of thumb:
+    # delta << 1/K (one in K clients).
+    dp_delta: float = 1e-5
     # Uplink compression (parallel/fed.py compressed_delta_fedavg; beyond
     # the reference): quantize each client's round delta to this many bits
     # (symmetric abs-max, stochastic rounding) before aggregation. None =
@@ -316,6 +320,11 @@ class FederatedEngine:
         # (fcfg.topk_fraction); per stage so one stage's untransmitted
         # coordinates never ride another stage's uplink
         self._topk_residuals: dict[int, Any] = {}
+        # RDP accountant for DP-FedAvg rounds (federated/privacy.py);
+        # stepped once per noised round, composes across stages within this
+        # engine's lifetime, checkpointed as a '-dp.json' round sidecar
+        from .privacy import DpAccountant
+        self._dp_accountant = DpAccountant(delta=fcfg.dp_delta)
         # debug: when True, the round returns the final local-phase optax
         # state stacked over clients (tests assert the physical ZeRO-1
         # sharding of the Adam moments); off in production — the extra
@@ -1094,6 +1103,12 @@ class FederatedEngine:
         if res is not None:
             save_params(f"{f.round_save_dir}/stage{stage}-round-{rnd}-topk",
                         jax.device_get(res))
+        if self._dp_active():
+            import json
+            from pathlib import Path
+
+            Path(f"{f.round_save_dir}/stage{stage}-round-{rnd}-dp.json"
+                 ).write_text(json.dumps(self._dp_accountant.state_dict()))
         ckpts = self._round_ckpts(stage)
         for _, p in ckpts[: max(0, len(ckpts) - f.round_save_limit)]:
             shutil.rmtree(p)
@@ -1101,6 +1116,9 @@ class FederatedEngine:
                 sib = p.with_name(p.name + suffix)
                 if sib.exists():
                     shutil.rmtree(sib)
+            dp = p.with_name(p.name + "-dp.json")
+            if dp.exists():
+                dp.unlink()
 
     def _maybe_resume_rounds(self, stage: int) -> int:
         """Load this stage's newest round checkpoint (if configured);
@@ -1146,8 +1164,39 @@ class FederatedEngine:
                       "from zero (resume is inexact)")
                 self.logger.log({"fl_resume_topk_residuals_missing": 1.0,
                                  "stage": stage})
+        if self._dp_active():
+            import json
+
+            from .privacy import DpAccountant
+
+            dp = p.with_name(p.name + "-dp.json")
+            if dp.exists():
+                self._dp_accountant = DpAccountant.from_state(
+                    json.loads(dp.read_text()))
+            else:
+                # reconstruct this stage's spend exactly (q and sigma are
+                # constant within a run) — but any OTHER stage's rounds from
+                # a previous process are lost to the total; say so loudly
+                self._dp_accountant.step(
+                    self._dp_q(), f.dp_noise_multiplier, num_steps=rnd)
+                print(f"[engine] round checkpoint {p.name} has no "
+                      "'-dp.json' sidecar; the privacy accountant was "
+                      f"rebuilt from this stage's {rnd} rounds only — "
+                      "epsilon excludes rounds other stages ran before "
+                      "the restart")
+                self.logger.log({"fl_resume_dp_accountant_rebuilt": 1.0,
+                                 "stage": stage})
         self.logger.log({"fl_resume_round": rnd, "stage": stage})
         return rnd
+
+    def _dp_active(self) -> bool:
+        f = self.fcfg
+        return f.dp_clip_norm is not None and f.dp_noise_multiplier > 0.0
+
+    def _dp_q(self) -> float:
+        """Per-round client sampling rate m/K for the RDP accountant."""
+        k_total = len(self.client_ids)
+        return max(int(self.fcfg.frac * k_total), 1) / k_total
 
     def run_rounds(self, stage: int, num_rounds: int | None = None) -> Any:
         """FedAvg rounds (reference FL_training_rounds,
@@ -1230,6 +1279,10 @@ class FederatedEngine:
                 "dead_step_frac": round(dead_frac, 4),
                 **{f"client{c}_loss": float(l) for c, l in zip(cids, losses)},
             }
+            if self._dp_active():
+                self._dp_accountant.step(m / k_total, f.dp_noise_multiplier)
+                row["dp_epsilon"] = round(self._dp_accountant.epsilon(), 4)
+                row["dp_delta"] = f.dp_delta
             if f.mesh is not None:
                 # GSPMD-fallback padding cost: when the sampled-client count
                 # doesn't divide the client axis, the partitioner pads the
