@@ -827,10 +827,22 @@ def cmd_dp_budget(args):
     epsilon after each stage's rounds for the given sampling fraction and
     noise multiplier (federated/privacy.py RDP accountant — the same math
     the engine logs as dp_epsilon during a run)."""
-    from .federated.privacy import DpAccountant
+    from .federated.privacy import DpAccountant, noise_for_epsilon
 
+    if (args.noise_multiplier is None) == (args.target_epsilon is None):
+        raise SystemExit("dp-budget: give exactly one of --noise_multiplier "
+                         "(forward) or --target_epsilon (inverse)")
     k = args.num_users
     q = max(int(args.frac * k), 1) / k
+    if args.target_epsilon is not None:
+        z = noise_for_epsilon(args.rounds, q, args.target_epsilon, args.delta)
+        print(json.dumps({
+            "num_users": k, "frac": args.frac, "q": round(q, 6),
+            "rounds": args.rounds, "delta": args.delta,
+            "target_epsilon": args.target_epsilon,
+            "noise_multiplier": round(z, 4),
+        }))
+        return
     acc = DpAccountant(delta=args.delta)
     trace = []
     for rnd in range(1, args.rounds + 1):
@@ -1299,7 +1311,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="total noised FedAvg rounds (sum over stages)")
     p.add_argument("--num_users", type=int, default=54)
     p.add_argument("--frac", type=float, default=1.0)
-    p.add_argument("--noise_multiplier", type=float, required=True)
+    p.add_argument("--noise_multiplier", type=float, default=None,
+                   help="forward mode: epsilon for this noise level")
+    p.add_argument("--target_epsilon", type=float, default=None,
+                   help="inverse mode: smallest noise multiplier reaching "
+                        "this epsilon (exclusive with --noise_multiplier)")
     p.add_argument("--delta", type=float, default=1e-5)
     p.add_argument("--report_every", type=int, default=1,
                    help="trace granularity in rounds")

@@ -124,6 +124,33 @@ def epsilon_for_rounds(
     return eps
 
 
+def noise_for_epsilon(
+    rounds: int, q: float, target_epsilon: float, delta: float,
+    lo: float = 0.05, hi: float = 100.0, tol: float = 1e-4,
+) -> float:
+    """Smallest noise multiplier sigma with
+    ``epsilon_for_rounds(rounds, q, sigma, delta) <= target_epsilon`` —
+    the planning question practitioners actually ask ("what noise do I
+    need for eps <= 8 over my run?"). Bisection on the (tested) fact that
+    epsilon is monotone decreasing in sigma. Raises if the bracket can't
+    reach the target (target too tight for [lo, hi])."""
+    if target_epsilon <= 0.0:
+        raise ValueError(f"target_epsilon must be > 0, got {target_epsilon}")
+    if epsilon_for_rounds(rounds, q, hi, delta) > target_epsilon:
+        raise ValueError(
+            f"target epsilon {target_epsilon} unreachable even at "
+            f"sigma={hi} for rounds={rounds}, q={q}, delta={delta}")
+    if epsilon_for_rounds(rounds, q, lo, delta) <= target_epsilon:
+        return lo
+    while hi - lo > tol:
+        mid = 0.5 * (lo + hi)
+        if epsilon_for_rounds(rounds, q, mid, delta) <= target_epsilon:
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
 @dataclass
 class DpAccountant:
     """Accumulates RDP across (possibly heterogeneous) DP rounds.

@@ -15,6 +15,7 @@ from privacy_preserve_federated_asr_tpu.federated.privacy import (
     DEFAULT_ALPHAS,
     DpAccountant,
     epsilon_for_rounds,
+    noise_for_epsilon,
     rdp_sampled_gaussian,
     rdp_to_epsilon,
 )
@@ -100,6 +101,19 @@ def test_homogeneous_accountant_matches_epsilon_for_rounds():
         acc.step(0.3, 1.1)
     assert acc.epsilon() == pytest.approx(
         epsilon_for_rounds(25, 0.3, 1.1, 1e-6), rel=1e-12)
+
+
+def test_noise_for_epsilon_inverts_forward():
+    rounds, q, delta, target = 50, 0.2, 1e-5, 4.0
+    z = noise_for_epsilon(rounds, q, target, delta)
+    # achieves the target...
+    assert epsilon_for_rounds(rounds, q, z, delta) <= target
+    # ...and is the SMALLEST such sigma up to the bisection tolerance
+    assert epsilon_for_rounds(rounds, q, z - 2e-4, delta) > target
+    with pytest.raises(ValueError, match="unreachable"):
+        noise_for_epsilon(10000, 1.0, 1e-4, 1e-9, hi=5.0)
+    with pytest.raises(ValueError, match="target_epsilon"):
+        noise_for_epsilon(10, 0.5, 0.0, 1e-5)
 
 
 # ---------------------------------------------------------------------------
